@@ -1,0 +1,169 @@
+"""Minimal functional NN primitives for neumesh_tpu.
+
+Parameters are nested dicts of jnp arrays (pytrees); every layer is an
+(init, apply) pair of pure functions. This replaces the reference's
+torch.nn modules (reference models/base.py) with jit/vmap/grad-friendly
+pure functions.
+
+Conventions:
+  - linear weights are stored as ``w: (in, out)`` (JAX convention,
+    transposed vs. torch's (out, in)); apply is ``x @ w + b``.
+  - weight-normalised linears store ``(g, v)`` with ``g: (out,)`` and
+    ``v: (in, out)``; the effective weight is ``v * g / ||v||_col`` where the
+    norm is per output column — matching torch.nn.utils.weight_norm(dim=0)
+    semantics used throughout the reference (reference models/base.py:253,
+    models/frameworks/neumesh/neumesh.py:77,101).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Linear layers
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int) -> Params:
+    """Torch-default init: U(-1/sqrt(in), 1/sqrt(in)) for both w and b."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"] + p["b"]
+
+
+def wnorm_from_weight(w: jnp.ndarray) -> Params:
+    """Split a plain weight (in, out) into weight-norm (g, v) parameterisation
+    with identical effective weight (torch weight_norm init semantics)."""
+    g = jnp.linalg.norm(w, axis=0)  # (out,)
+    return {"g": g, "v": w}
+
+
+def wnorm_linear_init(key, in_dim: int, out_dim: int) -> Params:
+    p = linear_init(key, in_dim, out_dim)
+    wn = wnorm_from_weight(p["w"])
+    return {"g": wn["g"], "v": wn["v"], "b": p["b"]}
+
+
+def wnorm_weight(p: Params) -> jnp.ndarray:
+    v = p["v"]
+    norm = jnp.linalg.norm(v, axis=0, keepdims=True)  # (1, out)
+    return v * (p["g"] / jnp.maximum(norm, 1e-12))
+
+
+def wnorm_linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ wnorm_weight(p) + p["b"]
+
+
+def maybe_wnorm_init(key, in_dim, out_dim, weight_norm: bool) -> Params:
+    return (wnorm_linear_init if weight_norm else linear_init)(key, in_dim, out_dim)
+
+
+def maybe_wnorm_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "g" in p:
+        return wnorm_linear_apply(p, x)
+    return linear_apply(p, x)
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    """Softplus with beta=100 as used by the SDF MLPs (reference
+    models/base.py:217, neumesh.py:75). Torch switches to identity when
+    beta*x > 20 (its default threshold); replicate for exact parity."""
+    bx = 100.0 * x
+    return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
+
+
+def sine_w0(w0: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    return lambda x: jnp.sin(w0 * x)
+
+
+# ---------------------------------------------------------------------------
+# Positional embedder (reference models/base.py:15-87)
+# ---------------------------------------------------------------------------
+
+class Embedder:
+    """NeRF positional encoding. Output ordering matches the reference:
+    [x, sin(f0*x), cos(f0*x), sin(f1*x), cos(f1*x), ...] with
+    log-sampled frequencies 2**linspace(0, multires-1, multires)."""
+
+    def __init__(self, multires: int, input_dim: int = 3):
+        self.input_dim = input_dim
+        self.multires = multires
+        if multires < 0:
+            # identity embedder (reference models/base.py:74-75)
+            self.out_dim = input_dim
+            self.freqs: tuple = ()
+        else:
+            n_freqs = multires
+            max_freq_log2 = multires - 1
+            if n_freqs > 1:
+                self.freqs = tuple(
+                    float(2.0 ** (max_freq_log2 * i / (n_freqs - 1)))
+                    for i in range(n_freqs)
+                )
+            elif n_freqs == 1:
+                self.freqs = (1.0,)
+            else:
+                self.freqs = ()
+            self.out_dim = input_dim * (1 + 2 * n_freqs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.multires < 0:
+            return x
+        parts = [x]
+        for f in self.freqs:
+            xf = x * f
+            parts.append(jnp.sin(xf))
+            parts.append(jnp.cos(xf))
+        return jnp.concatenate(parts, axis=-1)
+
+    # allow use as a static (hashable) member of jitted model configs
+    def __hash__(self):
+        return hash((self.input_dim, self.multires))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Embedder)
+            and self.input_dim == other.input_dim
+            and self.multires == other.multires
+        )
+
+
+def get_embedder(multires: int, input_dim: int = 3):
+    e = Embedder(multires, input_dim)
+    return e, e.out_dim
+
+
+# ---------------------------------------------------------------------------
+# Stacked MLP helper
+# ---------------------------------------------------------------------------
+
+def mlp_init(
+    key,
+    dims: Sequence[int],
+    weight_norm: bool = False,
+) -> list:
+    """Init a plain MLP as a list of layer param dicts. dims = [in, h, ..., out]."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        maybe_wnorm_init(keys[i], dims[i], dims[i + 1], weight_norm)
+        for i in range(len(dims) - 1)
+    ]
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,59 @@
+"""kNN feature interpolation and the interpolated signed distance.
+
+Gradient semantics replicate reference models/mesh_grid.py:121-142 exactly:
+kNN indices and inverse-distance weights are non-differentiable (detached),
+while the signed-distance formula stays analytic in the query point (and in
+the learnable indicator vectors/weight), so jax.grad of the geometry branch
+yields exact nablas — replacing the reference's autograd.grad
+(models/frameworks/neumesh/neumesh.py:225-232).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def knn_weights(sq_dist: jnp.ndarray) -> jnp.ndarray:
+    """Normalised inverse-distance weights w = 1/(d + 1e-7)
+    (reference models/mesh_grid.py:123-125). Input is non-differentiable
+    (callers pass stop_gradient'ed kNN distances)."""
+    dis = jnp.sqrt(sq_dist)
+    w = 1.0 / (dis + 1e-7)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def interpolate_features(features: jnp.ndarray, indices: jnp.ndarray,
+                         weights: jnp.ndarray) -> jnp.ndarray:
+    """f(x) = sum_k w_k F[idx_k] (reference neumesh.py:11-13).
+    features: (N, F); indices: (..., K); weights: (..., K) -> (..., F)."""
+    return jnp.sum(features[indices] * weights[..., None], axis=-2)
+
+
+def interpolated_distance(
+    xyz: jnp.ndarray,
+    vertices: jnp.ndarray,
+    indices: jnp.ndarray,
+    weights: jnp.ndarray,
+    indicator_vectors: jnp.ndarray,
+    indicator_weight,
+) -> jnp.ndarray:
+    """Interpolated signed distance h(x) (reference models/mesh_grid.py:129-142):
+
+        dir_k   = x - v_k
+        w2_k    = |dir_k|
+        mid_k   = (n_k * w1 + dir_k * w2_k) / (w1 + w2_k)
+        h(x)    = sum_k w_k <dir_k, mid_k>
+
+    xyz: (..., 3); vertices: (N, 3); indices/weights: (..., K);
+    indicator_vectors: (N, 3); indicator_weight: scalar w1.
+    Returns (..., 1).
+    """
+    indices = jax.lax.stop_gradient(indices)
+    weights = jax.lax.stop_gradient(weights)
+    w1 = indicator_weight
+    dir_vec = xyz[..., None, :] - vertices[indices]          # (..., K, 3)
+    w2 = jnp.linalg.norm(dir_vec, axis=-1, keepdims=True)    # (..., K, 1)
+    middle_vec = (indicator_vectors[indices] * w1 + dir_vec * w2) / (w1 + w2)
+    per_k = weights[..., None] * jnp.sum(
+        dir_vec * middle_vec, axis=-1, keepdims=True)        # (..., K, 1)
+    return jnp.sum(per_k, axis=-2)                           # (..., 1)

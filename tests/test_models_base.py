@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neumesh_tpu.models.base import ImplicitSurface, NeRF, RadianceNet
+
+
+def test_geometric_init_is_sphere():
+    """Sphere init (SAL/IDR): initial SDF approximates |x| - r."""
+    surf = ImplicitSurface(W=256, D=8, skips=(4,), W_geo_feat=256,
+                           radius_init=0.75, embed_multires=6)
+    params = surf.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (256, 3), minval=-1.2, maxval=1.2)
+    sdf = np.asarray(surf.forward(params, x))
+    want = np.linalg.norm(np.asarray(x), axis=-1) - 0.75
+    # the init is approximate; correlation should be very strong
+    # thresholds calibrated against the torch reference init, which itself
+    # gives corr~0.87 / mean-err~0.15 / near-err~0.09 on this domain
+    cc = np.corrcoef(sdf, want)[0, 1]
+    assert cc > 0.85, cc
+    err = np.abs(sdf - want)
+    assert err.mean() < 0.2, err.mean()
+    near = np.abs(want) < 0.2
+    assert err[near].mean() < 0.12, err[near].mean()
+
+
+def test_forward_with_nablas_matches_fd():
+    surf = ImplicitSurface(W=64, D=4, skips=(2,), W_geo_feat=32,
+                           embed_multires=2)
+    params = surf.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (16, 3),
+                           minval=-0.8, maxval=0.8)
+    sdf, nablas, feat = surf.forward_with_nablas(params, x)
+    assert sdf.shape == (16,) and nablas.shape == (16, 3)
+    assert feat.shape == (16, 32)
+    eps = 1e-3
+    for dim in range(3):
+        dx = jnp.zeros((1, 3)).at[0, dim].set(eps)
+        fd = (np.asarray(surf.forward(params, x + dx))
+              - np.asarray(surf.forward(params, x - dx))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(nablas[:, dim]), fd,
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_nablas_unit_norm_at_init():
+    """Sphere init implies |grad| ~ 1 away from origin."""
+    surf = ImplicitSurface(W=256, D=8, skips=(4,), W_geo_feat=256)
+    params = surf.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 3)) * 0.5
+    _, nablas, _ = surf.forward_with_nablas(params, x)
+    norms = np.linalg.norm(np.asarray(nablas), axis=-1)
+    assert np.abs(norms - 1.0).mean() < 0.2
+
+
+def test_radiance_net_shapes_and_range():
+    rad = RadianceNet(D=4, W=64, W_geo_feat=32, embed_multires=-1,
+                      embed_multires_view=4)
+    params = rad.init(jax.random.PRNGKey(0))
+    n = 10
+    x = jnp.ones((n, 3)) * 0.1
+    v = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    nrm = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))
+    feat = jnp.zeros((n, 32))
+    rgb = np.asarray(rad.forward(params, x, v, nrm, feat))
+    assert rgb.shape == (n, 3)
+    assert np.all(rgb > 0) and np.all(rgb < 1)
+
+
+def test_radiance_net_broadcasts():
+    rad = RadianceNet(D=2, W=32, W_geo_feat=16, embed_multires=-1,
+                      embed_multires_view=-1)
+    params = rad.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 5, 3))
+    v = jnp.ones((4, 5, 3))
+    nrm = jnp.ones((4, 5, 3))
+    feat = jnp.zeros((4, 5, 16))
+    assert rad.forward(params, x, v, nrm, feat).shape == (4, 5, 3)
+
+
+def test_nerf_forward():
+    nerf = NeRF(D=4, W=32, input_ch=4, multires=4, multires_view=2,
+                use_view_dirs=True)
+    params = nerf.init(jax.random.PRNGKey(0))
+    x = jnp.ones((6, 4)) * 0.2
+    v = jnp.ones((6, 3))
+    sigma, rgb = nerf.forward(params, x, v)
+    assert sigma.shape == (6,) and rgb.shape == (6, 3)
