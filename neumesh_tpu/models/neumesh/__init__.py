@@ -1,0 +1,112 @@
+"""NeuMesh framework builder (reference models/frameworks/neumesh/__init__.py)."""
+from __future__ import annotations
+
+import copy
+
+import jax
+
+from ...config import load_yaml
+from ...mesh import MeshGrid
+from ...mesh.triangle_mesh import load_mesh
+from .model import NeuMesh
+
+
+def load_teacher(teacher_config_path: str, teacher_ckpt_path: str, key=None):
+    """Build the frozen NeuS teacher from its config + checkpoint
+    (reference neumesh/__init__.py:73-87)."""
+    from .. import build_framework
+    from ...utils.checkpoints import load_checkpoint, restore_into
+
+    teacher_config = load_yaml(teacher_config_path)
+    teacher_model, teacher_params, *_ = build_framework(
+        teacher_config, teacher_config.model.framework,
+        key=key if key is not None else jax.random.PRNGKey(0))
+    ckpt = load_checkpoint(teacher_ckpt_path)
+    state = ckpt["model"] if "model" in ckpt else ckpt
+    if any("weight_v" in str(k) for k in state):
+        # torch state_dict layout
+        from ...utils.torch_ckpt import neus_state_dict_to_params
+        teacher_params = neus_state_dict_to_params(state, teacher_model)
+    else:
+        teacher_params = restore_into(teacher_params, state)
+    return teacher_model, teacher_params
+
+
+def get_model(args, key=None):
+    from ...render.volume import SingleRenderer
+    from ...train.trainer import Trainer
+
+    model_args = args["model"]
+
+    mesh = load_mesh(model_args.prior_mesh)
+    mesh_grid = MeshGrid(
+        mesh, model_args.setdefault("distance_method", "grid"))
+
+    model_config = {
+        "speed_factor": args.training.setdefault("speed_factor", 1.0),
+        "D_density": model_args.setdefault("D_density", 3),
+        "D_color": model_args.setdefault("D_color", 4),
+        "W": model_args.setdefault("W", 256),
+        "geometry_dim": model_args.get("geometry_dim", 32),
+        "color_dim": model_args.setdefault("color_dim", 32),
+        "multires_view": model_args.setdefault("multires_view", 4),
+        "multires_d": model_args.setdefault("multires_d", 8),
+        "multires_fg": model_args.setdefault("multires_fg", 2),
+        "multires_ft": model_args.setdefault("multires_ft", 2),
+        "enable_nablas_input": model_args.setdefault(
+            "enable_nablas_input", False),
+        "learn_indicator_weight": model_args.get(
+            "learn_indicator_weight", False),
+    }
+
+    render_kwargs_train = {
+        "N_nograd_samples": args.model.setdefault("N_nograd_samples", 2048),
+        "N_samples": args.model.setdefault("N_samples", 64),
+        "N_importance": args.model.setdefault("N_importance", 64),
+        "N_upsample_iters": args.model.setdefault("N_upsample_iters", 4),
+        "obj_bounding_radius": args.data.setdefault("obj_bounding_radius", 1.0),
+        "batched": args.data.batch_size is not None,
+        "perturb": args.model.setdefault("perturb", True),
+        "white_bkgd": args.model.setdefault("white_bkgd", False),
+        "bounded_near_far": model_args.setdefault("bounded_near_far", True),
+    }
+
+    loss_weights = {
+        "img": args.training.loss_weights.setdefault("img", 0.0),
+        "mask": args.training.loss_weights.setdefault("mask", 0.0),
+        "eikonal": args.training.loss_weights.setdefault("eikonal", 0.0),
+        "distill_density": args.training.loss_weights.setdefault(
+            "distill_density", 0.0),
+        "distill_color": args.training.loss_weights.setdefault(
+            "distill_color", 0.0),
+        "indicator_reg": args.training.loss_weights.setdefault(
+            "indicator_reg", 0.1),
+    }
+    if loss_weights["eikonal"] > 0:
+        render_kwargs_train["calc_normal"] = True
+
+    render_kwargs_test = copy.deepcopy(render_kwargs_train)
+    render_kwargs_test["rayschunk"] = args.data.setdefault(
+        "val_rayschunk", 4096)
+    render_kwargs_test["perturb"] = False
+
+    model = NeuMesh(mesh_grid, **model_config)
+    params = model.init(key if key is not None else jax.random.PRNGKey(42))
+
+    teacher_model = None
+    teacher_params = None
+    if (args.training.get("teacher_ckpt") is not None
+            and args.training.get("teacher_config") is not None):
+        teacher_model, teacher_params = load_teacher(
+            args.training.teacher_config, args.training.teacher_ckpt)
+        # student inherits the teacher's CDF sharpness
+        # (reference neumesh/__init__.py:86-87)
+        params["ln_s"] = teacher_params["ln_s"]
+        model.speed_factor = teacher_model.speed_factor
+
+    trainer = Trainer(model, loss_weights, teacher_model=teacher_model)
+    trainer.teacher_params = teacher_params
+    renderer = SingleRenderer(model)
+
+    return (model, params, trainer, render_kwargs_train, render_kwargs_test,
+            renderer)

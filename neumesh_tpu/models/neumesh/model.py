@@ -1,0 +1,460 @@
+"""NeuMesh model (reference models/frameworks/neumesh/neumesh.py:16-273).
+
+Disentangled mesh-based field: per-vertex geometry/color feature codes +
+learnable indicator vectors/weight on a fixed mesh scaffold, decoded by two
+small MLPs. Geometry input is the kNN-interpolated signed distance; color
+input is [nabla?, d_emb, view_emb, ft_emb].
+
+TPU design notes:
+  - the mesh scaffold (vertices, normals, kNN grid tables) lives on the
+    model object as device arrays closed over by jit (constant across
+    training); learnable indicator_vector / features / MLPs live in params.
+  - nablas: kNN selection is non-differentiable (the reference's detach
+    semantics, models/mesh_grid.py:121-122); the density depends on the
+    query point only through the scalar interpolated distance h, so
+    nabla = dDensity/dh * grad_x h — one scalar-tangent JVP through the MLP
+    plus the analytic grad of h. Twice-differentiable for eikonal.
+  - the ray-context fast path (bind_rays / RayBoundNeuMesh) replaces
+    per-sample HBM gathers with per-ray candidate caches and batched
+    matmuls — see the block comment above make_ray_context.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...mesh.grid import MeshGrid
+from ...nn import (
+    get_embedder,
+    linear_init,
+    maybe_wnorm_apply,
+    softplus100,
+    wnorm_linear_init,
+)
+from ...ops import interp
+
+
+class NeuMesh:
+    def __init__(
+        self,
+        mesh_grid: MeshGrid,
+        D_density: int = 3,
+        D_color: int = 4,
+        W: int = 256,
+        geometry_dim: int = 32,
+        color_dim: int = 32,
+        multires_view: int = 4,
+        multires_d: int = 8,
+        multires_fg: int = 2,
+        multires_ft: int = 2,
+        enable_nablas_input: bool = False,
+        input_view_dim: int = 3,
+        input_d_dim: int = 1,
+        ln_s: float = 0.2996,
+        speed_factor: float = 1.0,
+        learn_indicator_weight: bool = True,
+    ):
+        self.mesh_grid = mesh_grid
+        self.num_vertices = mesh_grid.get_number_of_vertices()
+        self.D_density = D_density
+        self.D_color = D_color
+        self.W = W
+        self.geometry_dim = geometry_dim
+        self.color_dim = color_dim
+        self.speed_factor = speed_factor
+        self.ln_s_init = ln_s
+        self.learn_indicator_weight = learn_indicator_weight
+        self.enable_nablas_input = enable_nablas_input
+
+        self.embed_fn_d, self.input_ch_d = get_embedder(
+            multires_d, input_dim=input_d_dim)
+        self.embed_fn_view, self.input_ch_view = get_embedder(
+            multires_view, input_dim=input_view_dim)
+        self.embed_fn_fg, self.input_ch_fg = get_embedder(
+            multires_fg, input_dim=geometry_dim)
+        self.embed_fn_ft, self.input_ch_ft = get_embedder(
+            multires_ft, input_dim=color_dim)
+
+        self.input_ch_pts = self.input_ch_d + self.input_ch_fg
+        self.input_ch_color = (self.input_ch_view + self.input_ch_ft
+                               + self.input_ch_d)
+        if enable_nablas_input:
+            self.input_ch_color += 3
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> dict:
+        keys = iter(jax.random.split(key, self.D_density + self.D_color + 8))
+        params = {
+            "ln_s": jnp.asarray([self.ln_s_init], jnp.float32),
+            "geometry_features": jax.random.normal(
+                next(keys), (self.num_vertices, self.geometry_dim),
+                jnp.float32),
+            "color_features": jax.random.normal(
+                next(keys), (self.num_vertices, self.color_dim), jnp.float32),
+            "indicator_vector": self.mesh_grid.vertex_normals.astype(
+                jnp.float32),
+        }
+        if self.learn_indicator_weight:
+            params["indicator_weight_raw"] = jnp.asarray([-2.0], jnp.float32)
+
+        # geometry MLP: D_density weight-norm hidden layers + density head
+        # (reference neumesh.py:76-86,101)
+        pts = [wnorm_linear_init(next(keys), self.input_ch_pts, self.W)]
+        for _ in range(self.D_density - 1):
+            pts.append(wnorm_linear_init(next(keys), self.W, self.W))
+        params["pts_linears"] = pts
+        params["density_linear"] = wnorm_linear_init(next(keys), self.W, 1)
+
+        # color MLP: D_color plain layers + rgb head (reference :93-102)
+        views = [linear_init(next(keys), self.input_ch_color, self.W)]
+        for _ in range(self.D_color - 1):
+            views.append(linear_init(next(keys), self.W, self.W))
+        params["views_linears"] = views
+        params["color_linear"] = linear_init(next(keys), self.W, 3)
+        return params
+
+    # ------------------------------------------------------------------
+    def forward_s(self, params):
+        return jnp.exp(params["ln_s"][0] * self.speed_factor)
+
+    def forward_indicator_weight(self, params):
+        if self.learn_indicator_weight:
+            return jax.nn.sigmoid(params["indicator_weight_raw"][0])
+        return 0.1
+
+    def compute_distance(self, params, xyz, K: int = 8):
+        """(ds (..., 1), indices (..., K), weights (..., K))
+        (reference neumesh.py:262-273)."""
+        return self.mesh_grid.compute_distance(
+            xyz,
+            indicator_vector=params["indicator_vector"],
+            indicator_weight=self.forward_indicator_weight(params),
+            K=K)
+
+    # ------------------------------------------------------------------
+    def _density_from_parts(self, params, ds, indices, weights):
+        """Geometry MLP on (embedded distance, embedded interpolated
+        geometry feature) (reference neumesh.py:204-221)."""
+        d_emb = self.embed_fn_d(ds)
+        fg = interp.interpolate_features(
+            params["geometry_features"], indices, weights)
+        fg_emb = self.embed_fn_fg(fg)
+        h = jnp.concatenate([d_emb, fg_emb], axis=-1)
+        for p in params["pts_linears"]:
+            h = softplus100(maybe_wnorm_apply(p, h))
+        density = maybe_wnorm_apply(params["density_linear"], h)
+        return density, d_emb
+
+    def _color_from_parts(self, params, d_emb, view_dirs, indices, weights,
+                          nabla: Optional[jnp.ndarray]):
+        """Color MLP (reference neumesh.py:239-260)."""
+        view_emb = self.embed_fn_view(view_dirs)
+        parts = []
+        if self.enable_nablas_input:
+            parts.append(nabla)
+        parts.append(d_emb)
+        parts.append(view_emb)
+        ft = interp.interpolate_features(
+            params["color_features"], indices, weights)
+        parts.append(self.embed_fn_ft(ft))
+        h = jnp.concatenate(parts, axis=-1)
+        for p in params["views_linears"]:
+            h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
+        return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
+
+    # ------------------------------------------------------------------
+    def _knn(self, params, xyz, K: int = 8):
+        sq, idx = self.mesh_grid.knn(xyz, K)
+        return interp.knn_weights(sq), idx
+
+    def _density_and_nabla(self, params, xyz, indices, weights):
+        """Density + d(density)/d(xyz) with fixed kNN selection,
+        twice-differentiable (eikonal).
+
+        Chain rule: the density depends on xyz ONLY through the scalar
+        interpolated distance h (features use detached kNN weights), so
+        nabla = dDensity/dh * grad_x h — one scalar-tangent JVP through the
+        MLP plus the analytic grad of h, instead of per-point reverse
+        passes (reference autograd.grad, neumesh.py:225-232)."""
+        indices = jax.lax.stop_gradient(indices)
+        weights = jax.lax.stop_gradient(weights)
+        nbr_pts = self.mesh_grid.vertices[indices]
+        nbr_ind = params["indicator_vector"][indices]
+        w1 = self.forward_indicator_weight(params)
+        ds, dh_dx = interp.interpolated_distance_and_grad(
+            xyz, nbr_pts, nbr_ind, weights, w1)
+
+        def dens_of_ds(d):
+            return self._density_from_parts(params, d, indices, weights)
+
+        (density, d_emb), (dD_dh, _) = jax.jvp(
+            dens_of_ds, (ds,), (jnp.ones_like(ds),))
+        nabla = dD_dh * dh_dx
+        return density, nabla, d_emb
+
+    # ------------------------------------------------------------------
+    # model protocol
+    def forward(self, params, xyz, view_dirs):
+        """(sdf (...,), rgb (..., 3)) (reference neumesh.py:113-138)."""
+        ds, indices, weights = self.compute_distance(params, xyz)
+        if self.enable_nablas_input:
+            density, nabla, d_emb = self._density_and_nabla(
+                params, xyz, indices, weights)
+        else:
+            density, d_emb = self._density_from_parts(
+                params, ds, indices, weights)
+            nabla = None
+        color = self._color_from_parts(
+            params, d_emb, view_dirs, indices, weights, nabla)
+        return density[..., 0], color
+
+    def forward_density_only(self, params, xyz):
+        ds, indices, weights = self.compute_distance(params, xyz)
+        density, _ = self._density_from_parts(params, ds, indices, weights)
+        return density[..., 0]
+
+    def forward_with_nablas(self, params, xyz):
+        weights, indices = self._knn(params, xyz)
+        density, nabla, _ = self._density_and_nabla(
+            params, xyz, indices, weights)
+        return density[..., 0], nabla
+
+    # ------------------------------------------------------------------
+    # Ray-context fast path (TPU-first).
+    #
+    # The per-sample hot loop above gathers (K,3)/(K,F) rows from HBM for
+    # every sample — hostile to the TPU memory system. Instead, we gather a
+    # per-RAY candidate set ONCE (union of the candidate lists of a few
+    # probe cells along the segment) and express kNN selection, the
+    # interpolated distance, and feature interpolation over that set as
+    # batched matmuls + elementwise math:
+    #
+    #   d2   = |x|^2 + |v_c|^2 - 2 x.v_c            (batched matmul)
+    #   W    = stop_grad(top-8 mask * 1/d, normalised)   (R, S, C)
+    #   h    = sum_c W_c (w1 (x.n_c - v_c.n_c) + d^3) / (w1 + d)
+    #   f    = W @ features_ctx                      (batched matmul, MXU)
+    #
+    # using <x-v, (n w1 + (x-v) d)/(w1+d)> = (w1 (x.n - v.n) + d^3)/(w1+d).
+    # No per-sample gathers; weights detached exactly as the reference
+    # detaches its kNN results (models/mesh_grid.py:121-122).
+    # ------------------------------------------------------------------
+
+    def make_ray_context(self, params, rays_o, rays_d, near, far,
+                         n_probes: int = 8, kp_per_probe=None):
+        """Build the per-ray candidate cache. rays_o/d: (R, 3);
+        near/far: (R, 1). Returns a dict of (R, C, ...) arrays or None when
+        no candidate grid is available (brute mode).
+
+        kp_per_probe (default: the grid's full Kp) can cap the candidates
+        taken per probe cell (lists are sorted by distance from the cell
+        center) — but slicing below the grid's validated Kp weakens the
+        coverage guarantee; leave None unless profiling demands it."""
+        grid = self.mesh_grid.grid
+        if grid is None:
+            return None
+        R = rays_o.shape[0]
+        t = jnp.linspace(0.0, 1.0, n_probes)
+        z = near + (far - near) * t                      # (R, P)
+        probes = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+
+        dims = jnp.asarray(grid.dims)
+        cell = jnp.floor((probes - grid.origin) * grid.inv_h).astype(
+            jnp.int32)
+        cell = jnp.clip(cell, 0, dims - 1)
+        flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
+            + cell[..., 2]                               # (R, P)
+        cand = grid.cand_idx[flat]                       # (R, P, Kp)
+        if kp_per_probe is not None:
+            cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
+        ids = cand.reshape(R, -1)                        # (R, C)
+        ids = jnp.sort(ids, axis=-1)
+        n_verts = self.num_vertices
+        dup = jnp.concatenate(
+            [jnp.zeros((R, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
+        ids = jnp.where(dup, n_verts, ids)               # sentinel out dups
+
+        verts_ext = jnp.concatenate(
+            [self.mesh_grid.vertices,
+             jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
+        ind_ext = jnp.concatenate(
+            [params["indicator_vector"],
+             jnp.zeros((1, 3), jnp.float32)], axis=0)
+        geo_ext = jnp.concatenate(
+            [params["geometry_features"],
+             jnp.zeros((1, self.geometry_dim), jnp.float32)], axis=0)
+        col_ext = jnp.concatenate(
+            [params["color_features"],
+             jnp.zeros((1, self.color_dim), jnp.float32)], axis=0)
+
+        pts = verts_ext[ids]                             # (R, C, 3)
+        ind = ind_ext[ids]                               # (R, C, 3)
+        return {
+            "ids": ids,
+            "pts": pts,
+            "pp": jnp.sum(pts * pts, axis=-1),           # (R, C)
+            "ind": ind,
+            "vn": jnp.sum(pts * ind, axis=-1),           # (R, C)
+            "geo": geo_ext[ids],                         # (R, C, Fg)
+            "col": col_ext[ids],                         # (R, C, Fc)
+        }
+
+    def _ctx_distance_parts(self, params, ctx, xyz, K: int = 8):
+        """xyz: (R, S, 3) -> (ds (R, S, 1), W (R, S, C) detached kNN
+        weights). ds is analytic in xyz/indicator params."""
+        w1 = self.forward_indicator_weight(params)
+        xx = jnp.sum(xyz * xyz, axis=-1)                 # (R, S)
+        xv = jnp.einsum("rsd,rcd->rsc", xyz, ctx["pts"],
+                        preferred_element_type=jnp.float32)
+        d2 = xx[..., None] + ctx["pp"][:, None, :] - 2.0 * xv
+        d2 = jnp.maximum(d2, 0.0)
+
+        d2_sg = jax.lax.stop_gradient(d2)
+        neg_k, _ = jax.lax.top_k(-d2_sg, K)              # (R, S, K)
+        thresh = -neg_k[..., -1:]                        # (R, S, 1)
+        mask = d2_sg <= thresh
+        w_raw = mask * (1.0 / (jnp.sqrt(d2_sg) + 1e-7))
+        W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)
+        W = jax.lax.stop_gradient(W)
+
+        d = jnp.sqrt(jnp.maximum(d2, 1e-20))             # analytic
+        xn = jnp.einsum("rsd,rcd->rsc", xyz, ctx["ind"],
+                        preferred_element_type=jnp.float32)
+        per_c = (w1 * (xn - ctx["vn"][:, None, :]) + d * d * d) / (w1 + d)
+        ds = jnp.sum(W * per_c, axis=-1, keepdims=True)  # (R, S, 1)
+        return ds, W
+
+    def _ctx_density(self, params, ctx, ds, W):
+        d_emb = self.embed_fn_d(ds)
+        fg = jnp.einsum("rsc,rcf->rsf", W, ctx["geo"],
+                        preferred_element_type=jnp.float32)
+        fg_emb = self.embed_fn_fg(fg)
+        h = jnp.concatenate([d_emb, fg_emb], axis=-1)
+        for p in params["pts_linears"]:
+            h = softplus100(maybe_wnorm_apply(p, h))
+        density = maybe_wnorm_apply(params["density_linear"], h)
+        return density, d_emb
+
+    def _ctx_density_and_nabla(self, params, ctx, xyz):
+        def h_of_x(x):
+            ds, W = self._ctx_distance_parts(params, ctx, x)
+            return ds[..., 0], W
+
+        (h, W), vjp_fn = jax.vjp(h_of_x, xyz, has_aux=False)
+        (dh_dx,) = vjp_fn((jnp.ones_like(h), jnp.zeros_like(W)))
+        ds = h[..., None]
+
+        def dens_of_ds(d):
+            return self._ctx_density(params, ctx, d, W)
+
+        (density, d_emb), (dD_dh, _) = jax.jvp(
+            dens_of_ds, (ds,), (jnp.ones_like(ds),))
+        nabla = dD_dh * dh_dx
+        return density, nabla, d_emb
+
+    def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
+        view_emb = self.embed_fn_view(view_dirs)
+        parts = []
+        if self.enable_nablas_input:
+            parts.append(nabla)
+        parts.append(d_emb)
+        parts.append(view_emb)
+        ft = jnp.einsum("rsc,rcf->rsf", W, ctx["col"],
+                        preferred_element_type=jnp.float32)
+        parts.append(self.embed_fn_ft(ft))
+        h = jnp.concatenate(parts, axis=-1)
+        for p in params["views_linears"]:
+            h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
+        return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
+
+    def bind_rays(self, params, rays_o, rays_d, near, far,
+                  n_probes: int = 8):
+        """Returns a protocol-compatible view of this model specialised to a
+        ray batch, or None when no candidate grid exists. Leading batch
+        dims of the rays are flattened into the ray axis."""
+        prefix = rays_o.shape[:-1]
+        ctx = self.make_ray_context(
+            params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+            near.reshape(-1, 1), far.reshape(-1, 1), n_probes)
+        if ctx is None:
+            return None
+        return RayBoundNeuMesh(self, ctx, prefix)
+
+    def forward_color(self, params, ds, view_dirs, color_features, indices,
+                      weights, nabla=None):
+        """Color query with externally-supplied features — the editing hook
+        (reference neumesh.py:156-168)."""
+        d_emb = self.embed_fn_d(ds)
+        view_emb = self.embed_fn_view(view_dirs)
+        parts = []
+        if self.enable_nablas_input:
+            parts.append(nabla)
+        parts.append(d_emb)
+        parts.append(view_emb)
+        ft = interp.interpolate_features(color_features, indices, weights)
+        parts.append(self.embed_fn_ft(ft))
+        h = jnp.concatenate(parts, axis=-1)
+        for p in params["views_linears"]:
+            h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
+        return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
+
+
+class RayBoundNeuMesh:
+    """Protocol view of a NeuMesh specialised to a ray batch: every sample
+    query of shape (R, S, 3) is answered from the per-ray candidate cache.
+    Created per render/train step inside the jitted program
+    (NeuMesh.bind_rays)."""
+
+    def __init__(self, model: NeuMesh, ctx: dict, prefix):
+        assert len(prefix) >= 1, (
+            "prefix must hold the ray-batch dims (use NeuMesh.bind_rays)")
+        self.model = model
+        self.ctx = ctx
+        self.prefix = tuple(prefix)  # leading ray-batch dims at bind time
+        self.mesh_grid = model.mesh_grid
+        self.enable_nablas_input = model.enable_nablas_input
+
+    def _flat(self, x):
+        """(..., S, d) -> (Rtot, S, d) where Rtot = prod(prefix)."""
+        return x.reshape((-1,) + x.shape[len(self.prefix):])
+
+    def _unflat(self, x):
+        return x.reshape(self.prefix + x.shape[1:])
+
+    def forward_s(self, params):
+        return self.model.forward_s(params)
+
+    def compute_distance(self, params, xyz, K: int = 8):
+        """(ds, None, None): callers on the ray-bound path (the renderer's
+        mesh-bounded near/far) consume only ds."""
+        ds, _ = self.model._ctx_distance_parts(
+            params, self.ctx, self._flat(xyz), K)
+        return self._unflat(ds), None, None
+
+    def forward_density_only(self, params, xyz):
+        x = self._flat(xyz)
+        ds, W = self.model._ctx_distance_parts(params, self.ctx, x)
+        density, _ = self.model._ctx_density(params, self.ctx, ds, W)
+        return self._unflat(density[..., 0])
+
+    def forward_with_nablas(self, params, xyz):
+        x = self._flat(xyz)
+        density, nabla, _ = self.model._ctx_density_and_nabla(
+            params, self.ctx, x)
+        return self._unflat(density[..., 0]), self._unflat(nabla)
+
+    def forward(self, params, xyz, view_dirs):
+        m = self.model
+        x = self._flat(xyz)
+        v = self._flat(view_dirs)
+        if m.enable_nablas_input:
+            density, nabla, d_emb = m._ctx_density_and_nabla(
+                params, self.ctx, x)
+            _, W = m._ctx_distance_parts(params, self.ctx, x)
+        else:
+            ds, W = m._ctx_distance_parts(params, self.ctx, x)
+            density, d_emb = m._ctx_density(params, self.ctx, ds, W)
+            nabla = None
+        color = m._ctx_color(params, self.ctx, d_emb, v, W, nabla)
+        return self._unflat(density[..., 0]), self._unflat(color)

@@ -66,6 +66,8 @@ def get_model(args, key=None):
 
     render_kwargs_train = {
         "N_nograd_samples": args.model.setdefault("N_nograd_samples", 2048),
+        "N_samples": args.model.setdefault("N_samples", 64),
+        "N_importance": args.model.setdefault("N_importance", 64),
         "N_upsample_iters": args.model.setdefault("N_upsample_iters", 4),
         "obj_bounding_radius": args.data.setdefault("obj_bounding_radius", 1.0),
         "batched": args.data.batch_size is not None,

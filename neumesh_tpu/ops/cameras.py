@@ -103,9 +103,10 @@ def quat_to_rot(q: np.ndarray) -> np.ndarray:
 
 
 def poses_avg(poses: np.ndarray) -> np.ndarray:
-    """Average c2w pose of a set of (N, 4, 4) poses (NeRF-style)."""
+    """Average c2w pose of a set of (N, 4, 4) poses
+    (reference render.py:36-41)."""
     center = poses[:, :3, 3].mean(0)
-    forward = normalize(poses[:, :3, 2].sum(0))
+    forward = poses[:, :3, 2].sum(0)
     up = poses[:, :3, 1].sum(0)
     return view_matrix(forward, up, center)
 
@@ -120,17 +121,15 @@ def c2w_track_spiral(
     N: int,
     zdelta: float = 0.0,
 ):
-    """Generate a spiral camera track around an anchor pose (the render CLI's
-    novel-view path, reference render.py:56-96)."""
+    """Spiral camera track looking at the anchor's focus point, openCV
+    convention (reference render.py:56-96)."""
     c2w_tracks = []
     rads = np.array(list(rads) + [1.0])
-    focus_in_cam = np.array([0, 0, -focus, 1.0])
+    focus_in_cam = np.array([0, 0, focus, 1.0])
+    focus_in_world = c2w[:3, :4] @ focus_in_cam
     for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
         cam_location = c2w[:3, :4] @ (
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
-            * rads
-        )
-        z = normalize(c2w[:3, :4] @ focus_in_cam - cam_location)
-        c2w_i = view_matrix(z, up_vec, cam_location)
-        c2w_tracks.append(c2w_i)
+            np.array([np.cos(theta), np.sin(theta),
+                      np.sin(theta * zrate), 1.0]) * rads)
+        c2w_tracks.append(look_at(cam_location, focus_in_world, up=up_vec))
     return c2w_tracks

@@ -50,10 +50,48 @@ def interpolated_distance(
     """
     indices = jax.lax.stop_gradient(indices)
     weights = jax.lax.stop_gradient(weights)
+    return interpolated_distance_from_parts(
+        xyz, vertices[indices], indicator_vectors[indices], weights,
+        indicator_weight)
+
+
+def interpolated_distance_from_parts(
+    xyz: jnp.ndarray,
+    nbr_pts: jnp.ndarray,          # (..., K, 3) selected vertex positions
+    nbr_ind: jnp.ndarray,          # (..., K, 3) selected indicator vectors
+    weights: jnp.ndarray,          # (..., K)
+    indicator_weight,
+) -> jnp.ndarray:
+    """Same formula with pre-gathered neighbour data (the ray-context path
+    avoids global gathers in the per-sample hot loop)."""
     w1 = indicator_weight
-    dir_vec = xyz[..., None, :] - vertices[indices]          # (..., K, 3)
+    dir_vec = xyz[..., None, :] - nbr_pts                    # (..., K, 3)
     w2 = jnp.linalg.norm(dir_vec, axis=-1, keepdims=True)    # (..., K, 1)
-    middle_vec = (indicator_vectors[indices] * w1 + dir_vec * w2) / (w1 + w2)
+    middle_vec = (nbr_ind * w1 + dir_vec * w2) / (w1 + w2)
     per_k = weights[..., None] * jnp.sum(
         dir_vec * middle_vec, axis=-1, keepdims=True)        # (..., K, 1)
     return jnp.sum(per_k, axis=-2)                           # (..., 1)
+
+
+def interpolated_distance_and_grad(
+    xyz: jnp.ndarray,
+    nbr_pts: jnp.ndarray,
+    nbr_ind: jnp.ndarray,
+    weights: jnp.ndarray,
+    indicator_weight,
+):
+    """(h(x) (..., 1), grad_x h (..., 3)) in one VJP sweep.
+
+    Because the NeuMesh density depends on the query point ONLY through the
+    scalar h (features use detached kNN weights; reference
+    neumesh.py:204-237), nablas factor as dDensity/dh * grad_x h — this
+    supplies the grad_x h term without per-point autodiff loops. The result
+    stays differentiable (for eikonal double-backward and parameter grads).
+    """
+    def f(x):
+        return interpolated_distance_from_parts(
+            x, nbr_pts, nbr_ind, weights, indicator_weight)[..., 0]
+
+    h, vjp_fn = jax.vjp(f, xyz)
+    (grad,) = vjp_fn(jnp.ones_like(h))
+    return h[..., None], grad

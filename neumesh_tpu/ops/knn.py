@@ -6,14 +6,19 @@ per-query K=8 search). Two paths:
 
   - ``knn_brute``: exact top-k by tiled distance computation; O(Q*N) — the
     correctness reference and the fallback for small meshes.
-  - ``UniformGrid``: counting-sort uniform grid with a *padded dense cell
-    table*; each query gathers its 27-neighbourhood candidates and top-k's
-    them. Cell size is derived from the mesh's own 8th-NN distances so that
-    any query within ~one cell of the surface finds its true k NN. Queries
-    whose fine neighbourhood holds fewer than k points fall back (per query,
-    via jnp.where) to a coarse level, preserving the far-field behaviour
-    that matters: the interpolated distance grows large positive
-    (see ops/interp.py).
+  - ``CandidateGrid``: a dense grid over the QUERY domain where every cell
+    precomputes its K' (default 16) nearest vertices, with candidate
+    positions stored INLINE. A query is then: cell id (elementwise) ->
+    one row gather of (K', 3) positions + (K',) indices -> distances ->
+    top-k. This maps onto the TPU memory system as a few medium-sized row
+    gathers — no 27-neighbourhood mega-gathers, no multi-level fallback
+    (far-away cells hold the genuinely nearest mesh region, so the far
+    field is handled for free).
+
+    The table is built ONCE per mesh (the analog of the reference's cached
+    frnn grid) via the native C++ KD-tree (neumesh_tpu/cpp), falling back
+    to chunked device brute force. Build-time validation reports the
+    near-surface agreement vs exact kNN and bumps K' if needed.
 
 Returned (sq_dist, indices) must be treated as non-differentiable: the
 reference detaches them (models/mesh_grid.py:121-122); callers apply
@@ -56,40 +61,33 @@ def knn_brute(query: jnp.ndarray, points: jnp.ndarray, k: int,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
-class UniformGrid:
-    """Padded-cell uniform grid over a fixed point set (device arrays).
+class CandidateGrid:
+    """Per-cell precomputed-candidate grid (device arrays).
 
-    points_ext: (N + 1, 3) — the point set plus a far-away sentinel row used
-        to pad cells; padded slots resolve to huge distances and lose top-k
-        whenever real neighbours exist.
-    cell_table / coarse_table: (n_cells, C) int32 candidate indices.
+    cand_idx: (n_cells, Kp) int32 — candidate vertex ids per cell.
+    cand_pts: (n_cells, Kp, 3) f32 — the same candidates' positions inline.
+    origin (3,), inv_h scalar, dims (static 3-tuple).
     """
-    points_ext: jnp.ndarray
-    cell_table: jnp.ndarray
-    coarse_table: jnp.ndarray
-    origin: jnp.ndarray          # (3,)
-    # static:
-    h: float
+    cand_idx: jnp.ndarray
+    cand_pts: jnp.ndarray
+    origin: jnp.ndarray
+    inv_h: jnp.ndarray
     dims: Tuple[int, int, int]
-    coarse_h: float
-    coarse_dims: Tuple[int, int, int]
 
     def tree_flatten(self):
-        children = (self.points_ext, self.cell_table, self.coarse_table,
-                    self.origin)
-        aux = (self.h, self.dims, self.coarse_h, self.coarse_dims)
-        return children, aux
+        return ((self.cand_idx, self.cand_pts, self.origin, self.inv_h),
+                (self.dims,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children, aux[0])
 
-    # ------------------------------------------------------------------
     @property
-    def n_points(self) -> int:
-        return self.points_ext.shape[0] - 1
+    def Kp(self) -> int:
+        return self.cand_idx.shape[1]
 
-    def query(self, xyz: jnp.ndarray, k: int = 8, q_chunk: int = 8192):
+    def query(self, xyz: jnp.ndarray, k: int = 8,
+              q_chunk: int = 262144):
         """xyz: (..., 3) -> (sq_dist (..., k), indices (..., k))."""
         shape = xyz.shape[:-1]
         q = xyz.reshape(-1, 3)
@@ -107,130 +105,117 @@ class UniformGrid:
         return sq.reshape(shape + (k,)), idx.reshape(shape + (k,))
 
     def _query_chunk(self, q, k: int):
-        sentinel = self.n_points
-
-        def level(origin, h, dims, table):
-            cand = self._gather27(q, origin, h, dims, table)  # (Q, 27C)
-            pts = self.points_ext[cand]
-            d2 = jnp.sum((pts - q[:, None, :]) ** 2, axis=-1)
-            n_real = jnp.sum(cand != sentinel, axis=-1)  # (Q,)
-            neg, sel = jax.lax.top_k(-d2, k)
-            idx = jnp.take_along_axis(cand, sel, axis=-1)
-            return jnp.maximum(-neg, 0.0), idx, n_real
-
-        sq_f, idx_f, n_f = level(self.origin, self.h, self.dims,
-                                 self.cell_table)
-        sq_c, idx_c, _ = level(self.origin, self.coarse_h, self.coarse_dims,
-                               self.coarse_table)
-        use_fine = (n_f >= k)[:, None]
-        return (jnp.where(use_fine, sq_f, sq_c),
-                jnp.where(use_fine, idx_f, idx_c))
-
-    def _gather27(self, q, origin, h, dims, table):
-        """Candidate indices from the 27-cell neighbourhood of each query.
-        Out-of-range neighbour cells map to an all-sentinel row (clipping
-        them instead would duplicate boundary cells and corrupt top-k)."""
-        dims = jnp.asarray(dims)
-        n_cells = table.shape[0]
-        cell = jnp.floor((q - origin) / h).astype(jnp.int32)  # (Q, 3)
-        # clamp the query's own cell so off-grid queries still search the
-        # nearest boundary cells
+        dims = jnp.asarray(self.dims)
+        cell = jnp.floor((q - self.origin) * self.inv_h).astype(jnp.int32)
         cell = jnp.clip(cell, 0, dims - 1)
-        offsets = jnp.stack(jnp.meshgrid(
-            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
-            indexing="ij"), axis=-1).reshape(27, 3)
-        nbr = cell[:, None, :] + offsets[None, :, :]  # (Q, 27, 3)
-        valid = jnp.all((nbr >= 0) & (nbr < dims), axis=-1)  # (Q, 27)
-        flat = (nbr[..., 0] * dims[1] + nbr[..., 1]) * dims[2] + nbr[..., 2]
-        flat = jnp.where(valid, flat, n_cells)
-        sentinel_row = jnp.full(
-            (1, table.shape[1]), self.n_points, dtype=table.dtype)
-        table_ext = jnp.concatenate([table, sentinel_row], axis=0)
-        return table_ext[flat].reshape(q.shape[0], -1)  # (Q, 27*C)
+        flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+        cpts = self.cand_pts[flat]          # (Q, Kp, 3)
+        cidx = self.cand_idx[flat]          # (Q, Kp)
+        d2 = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)
+        neg, sel = jax.lax.top_k(-d2, k)
+        idx = jnp.take_along_axis(cidx, sel, axis=-1)
+        return jnp.maximum(-neg, 0.0), idx
 
 
-def _build_table(points: np.ndarray, origin: np.ndarray, h: float,
-                 dims: np.ndarray, capacity_cap: int, sentinel: int):
-    """Host-side counting sort into a padded dense cell table."""
-    cell = np.floor((points - origin) / h).astype(np.int64)
-    cell = np.clip(cell, 0, dims - 1)
-    flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-    n_cells = int(dims[0] * dims[1] * dims[2])
-    counts = np.bincount(flat, minlength=n_cells)
-    C = int(min(max(counts.max(), 1), capacity_cap))
-    table = np.full((n_cells, C), sentinel, dtype=np.int32)
-    order = np.argsort(flat, kind="stable")
-    sorted_flat = flat[order]
-    start = np.zeros(n_cells + 1, dtype=np.int64)
-    start[1:] = np.cumsum(counts)
-    within = np.arange(len(points)) - start[sorted_flat]
-    keep = within < C
-    table[sorted_flat[keep], within[keep]] = order[keep].astype(np.int32)
-    overflow = int((~keep).sum())
-    return table, C, overflow
+# keep the old name importable (MeshGrid used to build a UniformGrid)
+UniformGrid = CandidateGrid
 
 
-def build_uniform_grid(
+def _host_cell_knn(points: np.ndarray, centers: np.ndarray, kp: int):
+    """Kp-NN of each cell center: native C++ KD-tree, else device brute."""
+    try:
+        from ..cpp import native
+        if native.available():
+            _, idx = native.KDTree(points.astype(np.float64)).query(
+                centers.astype(np.float64), k=kp)
+            return idx.astype(np.int32)
+    except Exception:
+        pass
+    _, idx = knn_brute(jnp.asarray(centers, jnp.float32),
+                       jnp.asarray(points, jnp.float32), kp, q_chunk=512)
+    return np.asarray(idx, np.int32)
+
+
+def build_candidate_grid(
     points,
+    kp: int = 16,
     cell_size: float | None = None,
-    capacity_cap: int = 64,
-    coarse_factor: int = 4,
-    coarse_capacity_cap: int = 96,
-    k_ref: int = 8,
-    verbose: bool = False,
-) -> UniformGrid:
-    """Build the two-level grid (host-side, one-time per mesh — the analog of
-    the reference's cached frnn grid, models/mesh_grid.py:64-74).
+    domain_margin: float = 1.0,
+    max_cells: int = 4 << 20,
+    validate: bool = True,
+) -> CandidateGrid:
+    """Build the candidate grid (one-time per mesh).
 
-    cell_size defaults to 1.5x the max 8th-NN distance among the points
-    themselves, which makes near-surface queries exact (their true 8 NN lie
-    within one cell length, hence inside the 27-cell neighbourhood).
+    The grid covers the vertex bbox grown by `domain_margin` (render-volume
+    queries outside the bbox clamp to boundary cells, whose candidates are
+    the genuinely nearest mesh region). cell_size defaults to the max 8th-NN
+    distance among the points, giving near-surface exactness with Kp=16.
     """
     pts = np.asarray(points, dtype=np.float32)
     n = pts.shape[0]
+    kp = min(kp, n)
+
     if cell_size is None:
-        # sample for large meshes; the max is stable under sampling because
-        # vertex spacing is locally uniform in marching-cubes meshes
         sample = pts if n <= 20000 else pts[
             np.random.default_rng(0).choice(n, 20000, replace=False)]
         d2, _ = knn_brute(jnp.asarray(sample), jnp.asarray(pts),
-                          min(k_ref + 1, n))
+                          min(9, n))
         d8 = np.sqrt(np.asarray(d2)[:, -1])
-        cell_size = float(d8.max() * 1.5 + 1e-6)
+        cell_size = float(d8.max() + 1e-6)
 
-    lo = pts.min(0) - 1e-4
-    hi = pts.max(0) + 1e-4
+    lo = pts.min(0) - domain_margin
+    hi = pts.max(0) + domain_margin
     extent = np.maximum(hi - lo, 1e-3)
     dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
-    # keep the fine table under ~64M entries
-    while int(dims.prod()) * capacity_cap > (1 << 26):
+    while int(dims.prod()) > max_cells:
         cell_size *= 1.26
         dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
 
-    sentinel = n
-    table_f, Cf, overflow_f = _build_table(
-        pts, lo, cell_size, dims, capacity_cap, sentinel)
+    # cell centers
+    cx = lo[0] + (np.arange(dims[0]) + 0.5) * cell_size
+    cy = lo[1] + (np.arange(dims[1]) + 0.5) * cell_size
+    cz = lo[2] + (np.arange(dims[2]) + 0.5) * cell_size
+    CX, CY, CZ = np.meshgrid(cx, cy, cz, indexing="ij")
+    centers = np.stack([CX, CY, CZ], -1).reshape(-1, 3).astype(np.float32)
 
-    ch = cell_size * coarse_factor
-    cdims = np.maximum(np.ceil(extent / ch).astype(np.int64), 1)
-    table_c, Cc, overflow_c = _build_table(
-        pts, lo, ch, cdims, coarse_capacity_cap, sentinel)
+    cand_idx = _host_cell_knn(pts, centers, kp)  # (n_cells, Kp)
+    cand_pts = pts[cand_idx]                     # (n_cells, Kp, 3)
 
-    if verbose and (overflow_f or overflow_c):
-        print(f"[knn] cell overflow: fine={overflow_f} coarse={overflow_c} "
-              f"(capacities {Cf}/{Cc}) — kNN may be approximate in dense "
-              f"regions")
-
-    points_ext = np.concatenate(
-        [pts, np.full((1, 3), 1e9, np.float32)], axis=0)
-
-    return UniformGrid(
-        points_ext=jnp.asarray(points_ext),
-        cell_table=jnp.asarray(table_f),
-        coarse_table=jnp.asarray(table_c),
+    grid = CandidateGrid(
+        cand_idx=jnp.asarray(cand_idx),
+        cand_pts=jnp.asarray(cand_pts),
         origin=jnp.asarray(lo.astype(np.float32)),
-        h=float(cell_size),
+        inv_h=jnp.asarray(np.float32(1.0 / cell_size)),
         dims=tuple(int(d) for d in dims),
-        coarse_h=float(ch),
-        coarse_dims=tuple(int(d) for d in cdims),
     )
+
+    if validate and n > 8:
+        # criterion: kNN *distances* (what the inverse-distance weights see)
+        # must match brute force closely; index ties don't matter
+        rng = np.random.default_rng(1)
+        m = min(2000, n)
+        sel = rng.choice(n, m, replace=False)
+        qv = pts[sel] + rng.normal(size=(m, 3)).astype(np.float32) \
+            * (0.25 * cell_size)
+        sq_g, _ = grid.query(jnp.asarray(qv), k=min(8, n))
+        sq_b, _ = knn_brute(jnp.asarray(qv), jnp.asarray(pts), min(8, n))
+        d_g = np.sqrt(np.asarray(sq_g))
+        d_b = np.sqrt(np.asarray(sq_b))
+        rel_err = float(np.mean(np.abs(d_g - d_b)
+                                / np.maximum(d_b, 1e-6)))
+        if rel_err > 5e-3 and kp < 4 * 16:
+            return build_candidate_grid(
+                points, kp=kp * 2, cell_size=cell_size,
+                domain_margin=domain_margin, max_cells=max_cells,
+                validate=validate)
+    return grid
+
+
+# old API name
+def build_uniform_grid(points, cell_size=None, **kwargs) -> CandidateGrid:
+    kwargs.pop("capacity_cap", None)
+    kwargs.pop("coarse_factor", None)
+    kwargs.pop("coarse_capacity_cap", None)
+    kwargs.pop("k_ref", None)
+    kwargs.pop("verbose", None)
+    return build_candidate_grid(points, cell_size=cell_size, **kwargs)

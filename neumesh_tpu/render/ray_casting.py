@@ -1,0 +1,183 @@
+"""Surface (non-volumetric) rendering (reference models/ray_casting.py).
+
+DVR-style root finding — N-step sign-change scan + secant refinement — and
+sphere tracing, composed into `surface_render`. Masked-scatter patterns of
+the reference (ray_casting.py:29-37,135-160) become jnp.where with static
+shapes; the secant loop is a fixed-iteration unrolled update (SURVEY §7).
+
+Note: like the reference, this path is part of the API surface but is not
+wired into the CLIs (reference has no caller in-tree, SURVEY §2.1). The
+surface_render path is also the FAST render mode: ~N_steps + 8 secant evals
+per ray instead of the volume renderer's several hundred.
+"""
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rays import near_far_from_sphere
+
+
+def run_secant_method(f_low, f_high, d_low, d_high, rays_o, rays_d,
+                      surface_query_fn, n_secant_steps: int,
+                      logit_tau: float = 0.0):
+    """Vectorised secant iteration (reference ray_casting.py:12-38);
+    all rays iterate, invalid ones are harmless (masked by caller)."""
+    denom = f_high - f_low
+    d_pred = -f_low * (d_high - d_low) / jnp.where(
+        jnp.abs(denom) < 1e-12, 1e-12, denom) + d_low
+    for _ in range(n_secant_steps):
+        p_mid = rays_o + d_pred[..., None] * rays_d
+        f_mid = surface_query_fn(p_mid) - logit_tau
+        ind_low = f_mid < 0
+        d_low = jnp.where(ind_low, d_pred, d_low)
+        f_low = jnp.where(ind_low, f_mid, f_low)
+        d_high = jnp.where(~ind_low, d_pred, d_high)
+        f_high = jnp.where(~ind_low, f_mid, f_high)
+        denom = f_high - f_low
+        d_pred = -f_low * (d_high - d_low) / jnp.where(
+            jnp.abs(denom) < 1e-12, 1e-12, denom) + d_low
+    return d_pred
+
+
+def root_finding_surface_points(
+    surface_query_fn,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: Union[float, jnp.ndarray] = 0.0,
+    far: Union[float, jnp.ndarray] = 6.0,
+    N_steps: int = 256,
+    logit_tau: float = 0.0,
+    method: str = "secant",
+    N_secant_steps: int = 8,
+    fill_inf: bool = True,
+):
+    """DVR-style root finding (reference ray_casting.py:45-200).
+    Sign convention: (+) outside, (-) inside.
+    Returns (d_pred (..., N), pt_pred (..., N, 3), mask, mask_sign_change).
+    """
+    prefix = rays_o.shape[:-1]
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), prefix)
+    far_t = jnp.broadcast_to(jnp.asarray(far, jnp.float32), prefix)
+
+    t = jnp.linspace(0.0, 1.0, N_steps)
+    d_proposal = near[..., None] * (1 - t) + far_t[..., None] * t
+    p_proposal = (rays_o[..., None, :]
+                  + d_proposal[..., None] * rays_d[..., None, :])
+    val = surface_query_fn(p_proposal) - logit_tau        # (..., N_steps)
+
+    mask_0_not_occupied = val[..., 0] > 0
+
+    sign_matrix = jnp.concatenate(
+        [jnp.sign(val[..., :-1] * val[..., 1:]),
+         jnp.ones(prefix + (1,))], axis=-1)
+    cost_matrix = sign_matrix * jnp.arange(N_steps, 0, -1, dtype=jnp.float32)
+    values = jnp.min(cost_matrix, axis=-1)
+    indices = jnp.argmin(cost_matrix, axis=-1)            # (...,)
+
+    mask_sign_change = values < 0
+    mask_pos_to_neg = jnp.take_along_axis(
+        val, indices[..., None], axis=-1)[..., 0] > 0
+    mask = mask_sign_change & mask_pos_to_neg & mask_0_not_occupied
+
+    d_high = jnp.take_along_axis(d_proposal, indices[..., None], -1)[..., 0]
+    f_high = jnp.take_along_axis(val, indices[..., None], -1)[..., 0]
+    idx1 = jnp.minimum(indices + 1, N_steps - 1)
+    d_low = jnp.take_along_axis(d_proposal, idx1[..., None], -1)[..., 0]
+    f_low = jnp.take_along_axis(val, idx1[..., None], -1)[..., 0]
+
+    if method == "secant":
+        d_pred = run_secant_method(
+            f_low, f_high, d_low, d_high, rays_o, rays_d,
+            surface_query_fn, N_secant_steps, logit_tau)
+    else:
+        d_pred = jnp.ones(prefix)
+
+    pt_pred = jnp.where(mask[..., None],
+                        rays_o + d_pred[..., None] * rays_d,
+                        jnp.ones(prefix + (3,)))
+    miss_value = jnp.inf if fill_inf else far_t
+    d_pred_out = jnp.where(mask, d_pred, miss_value)
+    d_pred_out = jnp.where(mask_0_not_occupied, d_pred_out, 0.0)
+
+    return (jax.lax.stop_gradient(d_pred_out),
+            jax.lax.stop_gradient(pt_pred), mask, mask_sign_change)
+
+
+def sphere_tracing_surface_points(
+    surface_query_fn,
+    rays_o,
+    rays_d,
+    near: float = 0.0,
+    far: float = 6.0,
+    N_iters: int = 20,
+):
+    """(reference ray_casting.py:203-225)."""
+    d_preds = jnp.full(rays_o.shape[:-1], near, jnp.float32)
+    mask = jnp.ones_like(d_preds, dtype=bool)
+    for _ in range(N_iters):
+        pts = rays_o + rays_d * d_preds[..., None]
+        surface_val = surface_query_fn(pts)
+        d_preds = jnp.where(mask, d_preds + surface_val, d_preds)
+        mask = mask & (d_preds <= far) & (d_preds >= 0)
+    pts = rays_o + rays_d * d_preds[..., None]
+    return d_preds, pts, mask
+
+
+def surface_render(
+    model,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    calc_normal: bool = True,
+    use_view_dirs: bool = True,
+    ray_casting_algo: str = "root_finding",
+    ray_casting_cfgs: dict = None,
+    rayschunk: int = 0,
+    **not_used_kwargs,
+):
+    """Surface rendering entry (reference ray_casting.py:228-320):
+    cast to the zero level set, then query color once per ray.
+    Returns (colors, depths, extras)."""
+    ray_casting_cfgs = dict(ray_casting_cfgs or {})
+    shape = rays_o.shape
+    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = rays_d if use_view_dirs else None
+
+    if "near" not in ray_casting_cfgs:
+        near, far = near_far_from_sphere(rays_o, rays_d, keepdim=False)
+        ray_casting_cfgs.setdefault("near", near)
+        ray_casting_cfgs.setdefault("far", far)
+
+    def query_fn(pts):
+        return model.forward_density_only(params, pts)
+
+    if ray_casting_algo == "root_finding":
+        d_pred, pt_pred, mask, _ = root_finding_surface_points(
+            query_fn, rays_o, rays_d, **ray_casting_cfgs)
+    elif ray_casting_algo == "sphere_tracing":
+        d_pred, pt_pred, mask = sphere_tracing_surface_points(
+            query_fn, rays_o, rays_d,
+            **{k: v for k, v in ray_casting_cfgs.items()
+               if k in ("near", "far", "N_iters")})
+    else:
+        raise NotImplementedError(ray_casting_algo)
+
+    sdf, color = model.forward(params, pt_pred, view_dirs)
+    color = jnp.where(mask[..., None], color, 0.0)
+    _, nablas = model.forward_with_nablas(params, pt_pred)
+
+    extras = {"implicit_nablas": nablas, "mask_surface": mask}
+    if calc_normal:
+        normals = nablas / jnp.maximum(
+            jnp.linalg.norm(nablas, axis=-1, keepdims=True), 1e-12)
+        extras["normals_surface"] = jnp.where(mask[..., None], normals, 0.0)
+
+    prefix = shape[:-1]
+    return (color.reshape(prefix + (3,)),
+            d_pred.reshape(prefix),
+            {k: v.reshape(prefix + v.shape[1:]) for k, v in extras.items()})

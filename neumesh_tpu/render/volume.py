@@ -96,13 +96,28 @@ def volume_render_rays(
     color_dir_key = up_keys[-1]
 
     near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
+    can_bind = hasattr(model, "bind_rays") and rays_o.ndim >= 2
     if bounded_near_far and hasattr(model, "compute_distance"):
+        bound_model = model
+        if can_bind:
+            pre = model.bind_rays(params, rays_o, rays_d, near, far,
+                                  n_probes=16)
+            if pre is not None:
+                bound_model = pre
         near, far = compute_bounded_near_far(
-            model, params, rays_o, rays_d, near, far)
+            bound_model, params, rays_o, rays_d, near, far)
     if near_bypass is not None:
         near = jnp.full_like(near, near_bypass)
     if far_bypass is not None:
         far = jnp.full_like(far, far_bypass)
+
+    # specialise the model to this ray batch (per-ray candidate cache;
+    # NeuMesh fast path) — all subsequent sample queries are (R, S, 3)
+    if can_bind:
+        bound = model.bind_rays(params, rays_o, rays_d, near, far,
+                                n_probes=8)
+        if bound is not None:
+            model = bound
 
     view_dirs = rays_d if use_view_dirs else None
 

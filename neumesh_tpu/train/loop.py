@@ -1,0 +1,257 @@
+"""Training loop (reference train.py:201-482), TPU-first.
+
+One jitted train step contains ray sampling, the full render pipeline, all
+losses, and the optax update; the device mesh shards the per-ray pipeline
+(parallel/mesh.py). Periodic full-image validation, time-based latest
+checkpointing (i_save seconds), step-based backups (i_backup), interrupt-safe
+save, and resume — matching the reference's auxiliary behaviour (SURVEY §5).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import backup_sources, save_yaml
+from ..dataio import get_data
+from ..models import build_framework
+from ..parallel import dist, get_device_mesh, ray_sharder
+from ..utils.checkpoints import CheckpointIO, sorted_ckpts
+from ..utils.logger import Logger
+from ..utils.print_fn import log
+from .optimizers import current_lr, get_optimizer
+from .pretrain import maybe_pretrain_siren
+
+
+def _tree_add(params, updates):
+    return jax.tree.map(lambda p, u: p + u, params, updates)
+
+
+def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
+                     mesh=None, painting: bool = False):
+    constraint = ray_sharder(mesh, batched=True)
+
+    def loss_fn(params, model_input, ground_truth, key, teacher_params):
+        if painting:
+            ret = trainer.render_and_loss_painting(
+                params, model_input, ground_truth, key, render_kwargs_train,
+                teacher_params=teacher_params)
+        else:
+            ret = trainer.render_and_loss(
+                params, model_input, ground_truth, key, render_kwargs_train,
+                N_rays=N_rays, H=H, W=W, teacher_params=teacher_params,
+                ray_constraint=constraint)
+        scalars = {k: v for k, v in ret["losses"].items()}
+        scalars["psnr"] = ret["extras"]["psnr"]
+        for k, v in ret["extras"].get("scalars", {}).items():
+            scalars[k] = v
+        return ret["losses"]["total"], scalars
+
+    @jax.jit
+    def train_step(params, opt_state, model_input, ground_truth, key,
+                   teacher_params, grad_mask=None):
+        (total, scalars), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, model_input, ground_truth, key,
+                                   teacher_params)
+        if grad_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = _tree_add(params, updates)
+        return params, opt_state, total, scalars
+
+    return train_step
+
+
+def validate(model, params, renderer, val_dataset, view_idx, key,
+             render_kwargs_test, logger: Logger, it: int,
+             calc_normal: bool = True):
+    """Full-image validation render (reference train.py:32-99)."""
+    from ..ops.rays import get_rays
+
+    _, sample, gt = val_dataset[view_idx]
+    H, W = val_dataset.H, val_dataset.W
+    intr = jnp.asarray(sample["intrinsics"])
+    c2w = jnp.asarray(sample["c2w"])
+    ro, rd, _ = get_rays(c2w, intr, H, W)
+    kwargs = {k: v for k, v in render_kwargs_test.items()
+              if k not in ("batched",)}
+    kwargs["calc_normal"] = calc_normal
+    rgb, depth, extras = renderer(
+        params, ro, rd, key=key, detailed_output=False, **kwargs)
+    rgb_im = np.asarray(rgb).reshape(H, W, 3)
+    depth_im = np.asarray(depth).reshape(H, W)
+    acc_im = np.asarray(extras["mask_volume"]).reshape(H, W)
+    logger.add_imgs(rgb_im, "val/predicted_rgb", it)
+    logger.add_imgs(np.asarray(gt["rgb"]).reshape(H, W, 3), "val/gt_rgb", it)
+    dmax = depth_im.max() + 1e-9
+    logger.add_imgs(np.stack([depth_im / dmax] * 3, -1), "val/pred_depth", it)
+    logger.add_imgs(np.stack([np.clip(acc_im, 0, 1)] * 3, -1),
+                    "val/pred_mask", it)
+    if "normals_volume" in extras:
+        n_im = np.asarray(extras["normals_volume"]).reshape(H, W, 3)
+        logger.add_imgs(n_im / 2.0 + 0.5, "val/pred_normals", it)
+    mse = float(np.mean((rgb_im.reshape(-1, 3)
+                         - np.asarray(gt["rgb"])) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    logger.add("validation", "psnr", psnr, it)
+    return psnr
+
+
+def main_function(args):
+    seed = dist.init_env(args)
+    exp_dir = os.path.join(args.training.log_root_dir, args.expname)
+    args.training.exp_dir = exp_dir
+
+    # aux subsystems (SURVEY §5): NaN checking + profiler trace, by flag
+    if args.training.get("debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = args.training.get("profile_dir", None)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    logger = Logger(
+        log_dir=exp_dir,
+        img_dir=os.path.join(exp_dir, "imgs"),
+        monitoring=args.training.get("monitoring", "none"),
+        monitoring_dir=os.path.join(exp_dir, "events"))
+
+    if dist.is_master():
+        backup_sources(os.path.join(exp_dir, "backup"))
+        save_yaml(args, os.path.join(exp_dir, "config.yaml"))
+
+    # ---- data
+    train_dataset, val_dataset = get_data(
+        args, return_val=True,
+        val_downscale=args.data.get("val_downscale", 4.0))
+    H, W = train_dataset.H, train_dataset.W
+
+    # ---- framework
+    key = jax.random.PRNGKey(seed)
+    key, k_model = jax.random.split(key)
+    (model, params, trainer, render_kwargs_train, render_kwargs_test,
+     renderer) = build_framework(args, args.model.framework, key=k_model)
+    teacher_params = getattr(trainer, "teacher_params", None)
+
+    log.info(f"=> Experiment: {args.expname} | H,W=({H},{W}) | "
+             f"devices={jax.device_count()}")
+
+    # ---- SIREN pretrain hook (reference train.py:316-324)
+    params = maybe_pretrain_siren(args, model, params, logger)
+
+    # ---- optimizer
+    opt = get_optimizer(args, params)
+    opt_state = opt.init(params)
+
+    # ---- checkpoints / resume (reference train.py:281-314)
+    ckpt_io = CheckpointIO(os.path.join(exp_dir, "ckpts"))
+    it = 0
+    ckpt_file = args.training.get("ckpt_file", None)
+    if ckpt_file is None or ckpt_file == "None":
+        ckpt_file = ckpt_io.latest_path()
+    if ckpt_file is not None and os.path.exists(str(ckpt_file)):
+        log.info(f"=> Loading checkpoint {ckpt_file}")
+        loaded = ckpt_io.load_file(
+            str(ckpt_file), model_template=params,
+            ignore_keys=args.training.get("ckpt_ignore_keys", None) or None,
+            only_use_keys=args.training.get("ckpt_only_use_keys", None)
+            or None)
+        params = loaded["model"]
+        if "global_step" in loaded:
+            it = int(np.asarray(loaded["global_step"]))
+        if "optimizer" in loaded and not args.training.get(
+                "ckpt_ignore_keys", None):
+            try:
+                from ..utils.checkpoints import restore_into
+                opt_state = restore_into(opt_state, loaded["optimizer"])
+            except Exception as e:
+                log.warning(f"optimizer state not restored: {e}")
+
+    # ---- device mesh (ray-axis sharding over all chips)
+    use_mesh = args.training.get("use_device_mesh", True)
+    mesh = get_device_mesh() if (use_mesh and jax.device_count() > 1) \
+        else None
+    train_step = build_train_step(
+        trainer, opt, render_kwargs_train, args.data.N_rays, H, W, mesh=mesh)
+
+    num_iters = args.training.num_iters
+    i_val = args.training.get("i_val", 500)
+    i_backup = args.training.get("i_backup", 50000)
+    i_save_sec = args.training.get("i_save", 900)
+    batch_size = args.data.get("batch_size", 1) or 1
+
+    data_rng = np.random.default_rng(seed + dist.process_index())
+    t_last_save = time.time()
+    t0 = time.time()
+
+    def save(name, final=False):
+        if not dist.is_master():
+            return
+        ckpt_io.save(name, model=params, optimizer=opt_state,
+                     global_step=it, epoch_idx=0)
+        logger.flush()
+
+    try:
+        while it < num_iters:
+            for batch in train_dataset.epoch_batches(batch_size, data_rng):
+                if it >= num_iters:
+                    break
+                _, model_input, ground_truth = batch
+                model_input = {k: jnp.asarray(v)
+                               for k, v in model_input.items()}
+                ground_truth = {k: jnp.asarray(v)
+                                for k, v in ground_truth.items()}
+
+                if i_val > 0 and it % i_val == 0:
+                    key, k_val = jax.random.split(key)
+                    psnr = validate(
+                        model, params, renderer, val_dataset,
+                        view_idx=int(data_rng.integers(len(val_dataset))),
+                        key=k_val, render_kwargs_test=render_kwargs_test,
+                        logger=logger, it=it,
+                        calc_normal=render_kwargs_train.get(
+                            "calc_normal", False))
+                    log.info(f"[val] it {it}: psnr {psnr:.2f}")
+
+                key, k_step = jax.random.split(key)
+                t_step = time.time()
+                params, opt_state, total, scalars = train_step(
+                    params, opt_state, model_input, ground_truth, k_step,
+                    teacher_params)
+                it += 1
+
+                if it % args.training.get("i_log", 20) == 0:
+                    total_f = float(total)
+                    log.info(
+                        f"it {it}/{num_iters} loss {total_f:.4f} psnr "
+                        f"{float(scalars['psnr']):.2f} "
+                        f"({time.time() - t_step:.3f}s/it)")
+                    logger.add("learning_rates", "whole", current_lr(args, it),
+                               it)
+                    for k, v in scalars.items():
+                        logger.add("losses" if k.startswith("loss") or
+                                   k == "total" else "extras", k,
+                                   float(v), it)
+
+                if time.time() - t_last_save > i_save_sec:
+                    save("latest.ckpt")
+                    t_last_save = time.time()
+                if i_backup > 0 and it % i_backup == 0:
+                    save(f"{it:08d}.ckpt")
+    except KeyboardInterrupt:
+        log.info("=> KeyboardInterrupt: saving latest and exiting")
+        save("latest.ckpt")
+        logger.flush()
+        return params
+
+    save("latest.ckpt")
+    save(f"final_{it:08d}.ckpt", final=True)
+    logger.flush()
+    if profile_dir:
+        jax.profiler.stop_trace()
+    log.info(f"=> Training done in {time.time() - t0:.1f}s "
+             f"({it} iterations)")
+    return params

@@ -43,13 +43,23 @@ class Trainer:
         H: int,
         W: int,
         teacher_params=None,
+        ray_constraint=None,
     ):
-        """The reference Trainer.forward (models/trainer.py:50-115)."""
+        """The reference Trainer.forward (models/trainer.py:50-115).
+
+        ray_constraint: optional sharding-constraint fn (parallel.ray_sharder)
+        applied to the generated rays — GSPMD then shards the whole per-ray
+        pipeline over the device mesh (replaces DDP/DataParallel,
+        reference models/trainer.py:39-42, train.py:326-332).
+        """
         k_rays, k_render = jax.random.split(key)
         intrinsics = model_input["intrinsics"]
         c2w = model_input["c2w"]
         rays_o, rays_d, select_inds = rays_ops.get_rays(
             c2w, intrinsics, H, W, N_rays=N_rays, key=k_rays)
+        if ray_constraint is not None:
+            rays_o = ray_constraint(rays_o)
+            rays_d = ray_constraint(rays_d)
 
         use_distill_loss = (
             self.loss_weights["distill_density"] > 0

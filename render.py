@@ -1,0 +1,200 @@
+"""Novel-view synthesis CLI (reference render.py).
+
+Renders a spiral camera path from a checkpoint and writes per-view PNGs,
+normal maps, and rgb/depth MP4s. Measures and prints throughput (Mrays/s).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import imageio.v2 as imageio
+import jax
+import numpy as np
+
+from neumesh_tpu.config import create_args_parser, load_config
+from neumesh_tpu.dataio import get_data
+from neumesh_tpu.models import build_framework
+from neumesh_tpu.ops.cameras import c2w_track_spiral, normalize, poses_avg
+from neumesh_tpu.utils.checkpoints import CheckpointIO, sorted_ckpts
+from neumesh_tpu.utils.print_fn import log
+
+
+def render_function(args, model, params, render_kwargs_test, render_fn):
+    import jax.numpy as jnp
+    from neumesh_tpu.ops.rays import get_rays
+
+    if args.get("dataset_split", None) is not None:
+        args.data.split = args.dataset_split
+    if args.get("background", None) is not None:
+        render_kwargs_test["white_bkgd"] = args.background == 1
+    dataset = get_data(args, downscale=args.downscale)
+
+    _, model_input, _ = dataset[0]
+    intrinsics = np.array(model_input["intrinsics"])
+    H, W = dataset.H, dataset.W
+    # resolution overrides rescale the principal point/scale consistently
+    # (reference render.py:115-127)
+    if args.get("H", None) is not None:
+        intrinsics[1, 2] *= args.H / dataset.H
+        H = args.H
+    if args.get("H_scale", None) is not None:
+        H = int(dataset.H * args.H_scale)
+        intrinsics[1, 2] *= H / dataset.H
+    if args.get("W", None) is not None:
+        intrinsics[0, 2] *= args.W / dataset.W
+        W = args.W
+    if args.get("W_scale", None) is not None:
+        W = int(dataset.W * args.W_scale)
+        intrinsics[0, 2] *= W / dataset.W
+    log.info(f"=> Rendering resolution @ [{H} x {W}]")
+
+    c2ws = np.stack(dataset.c2w_all, 0)
+
+    if args.camera_path == "spiral":
+        if args.get("test_frame", None) is not None:
+            test_pose = c2ws[args.test_frame]
+            up = test_pose[:3, 1]
+            focus_distance = np.linalg.norm(test_pose[:3, 3], axis=-1)
+        else:
+            test_pose = poses_avg(c2ws)
+            focus_distance = np.mean(np.linalg.norm(c2ws[:, :3, 3], axis=-1))
+            up = c2ws[:, :3, 1].sum(0)
+        rads = np.array([
+            np.percentile(np.abs(c2ws[:, 0, 3]), 10, 0),
+            np.percentile(np.abs(c2ws[:, 1, 3]), 15, 0),
+            np.percentile(np.abs(c2ws[:, 2, 3]), 30, 0),
+        ]).reshape(-1)
+        spiral_rad = args.get("spiral_rad", []) or []
+        for i, r in enumerate(spiral_rad[:3]):
+            if r >= 0:
+                rads[i] = r
+        render_c2ws = c2w_track_spiral(
+            test_pose, normalize(up), rads, focus_distance * 0.8,
+            zrate=0.0, rots=1, N=args.num_views)
+    else:
+        raise RuntimeError("Please choose render type between [spiral]")
+
+    render_kwargs_test["rayschunk"] = args.rayschunk
+    outbase = args.get("outbase", None) or args.expname
+    output_dir = os.path.join("out", outbase)
+    if args.get("outdirectory", None) is not None:
+        output_dir = os.path.join(output_dir, args.outdirectory)
+    os.makedirs(output_dir, exist_ok=True)
+    normal_dir = os.path.join(output_dir, "normal")
+    os.makedirs(normal_dir, exist_ok=True)
+
+    def integerify(img):
+        return (np.clip(img, 0, 1) * 255.0).astype(np.uint8)
+
+    rgb_imgs, depth_imgs, normal_imgs = [], [], []
+    kwargs = {k: v for k, v in render_kwargs_test.items()
+              if k not in ("batched",)}
+    kwargs["calc_normal"] = True
+    total_rays = 0
+    t_render = 0.0
+    key = jax.random.PRNGKey(0)
+    intr_j = jnp.asarray(intrinsics)
+    for idx, c2w in enumerate(render_c2ws):
+        rays_o, rays_d, _ = get_rays(
+            jnp.asarray(np.asarray(c2w, np.float32)), intr_j, H, W)
+        t0 = time.time()
+        rgb, depth, extras = render_fn(
+            params, rays_o, rays_d, key=key, detailed_output=False, **kwargs)
+        rgb = np.asarray(jax.block_until_ready(rgb))
+        t_render += time.time() - t0
+        total_rays += H * W
+        depth = np.asarray(depth).reshape(H, W, 1)
+        depth = depth / max(depth.max(), 1e-9)
+        rgb_imgs.append(rgb.reshape(H, W, 3))
+        depth_imgs.append(depth)
+        imageio.imwrite(
+            os.path.join(output_dir, f"{outbase}_rgb_{idx:03d}.png"),
+            integerify(rgb_imgs[-1]))
+        if "normals_volume" in extras:
+            normals = np.asarray(extras["normals_volume"]).reshape(H, W, 3)
+            normal_imgs.append(normals / 2.0 + 0.5)
+            imageio.imwrite(
+                os.path.join(normal_dir, f"{outbase}_normal_{idx:03d}.png"),
+                integerify(normal_imgs[-1]))
+        if idx % 10 == 0:
+            log.info(f"view {idx + 1}/{len(render_c2ws)}")
+
+    mrays_s = total_rays / max(t_render, 1e-9) / 1e6
+    log.info(f"=> Rendered {total_rays} rays in {t_render:.2f}s: "
+             f"{mrays_s:.3f} Mrays/s")
+
+    post_fix = f"{H}x{W}_{args.num_views}_{args.camera_path}"
+
+    def write_video(path, frames):
+        try:
+            imageio.mimwrite(path, frames, fps=args.fps, quality=10)
+        except Exception:
+            # no ffmpeg backend in this environment: fall back to GIF
+            gif = os.path.splitext(path)[0] + ".gif"
+            imageio.mimwrite(gif, frames,
+                             duration=1000.0 / max(args.fps, 1))
+            log.warning(f"mp4 backend unavailable; wrote {gif}")
+
+    write_video(os.path.join(output_dir, f"{outbase}_rgb_{post_fix}.mp4"),
+                [integerify(i) for i in rgb_imgs])
+    write_video(os.path.join(output_dir, f"{outbase}_depth_{post_fix}.mp4"),
+                [integerify(np.repeat(i, 3, axis=-1)) for i in depth_imgs])
+    return mrays_s
+
+
+def main_function(args):
+    model, params, trainer, _, render_kwargs_test, render_fn = \
+        build_framework(args, args.model.framework)
+
+    if args.get("load_pt", None) is None:
+        ckpts = sorted_ckpts(os.path.join(args.training.exp_dir, "ckpts"))
+        assert ckpts, f"no checkpoints under {args.training.exp_dir}/ckpts"
+        ckpt_file = ckpts[-1]
+    else:
+        ckpt_file = args.load_pt
+    log.info("=> Use ckpt: " + str(ckpt_file))
+
+    ckpt_io = CheckpointIO(os.path.dirname(str(ckpt_file)) or ".")
+    loaded = ckpt_io.load_file(str(ckpt_file), model_template=None)
+    state = loaded.get("model", loaded)
+    if any("weight_v" in str(k) for k in state):
+        from neumesh_tpu.utils.torch_ckpt import (
+            neumesh_state_dict_to_params, neus_state_dict_to_params)
+        if "geometry_features" in state:
+            params = neumesh_state_dict_to_params(state, model)
+        else:
+            params = neus_state_dict_to_params(state, model)
+    else:
+        from neumesh_tpu.utils.checkpoints import restore_into
+        params = restore_into(params, state)
+
+    render_function(args, model, params, render_kwargs_test, render_fn)
+
+
+def create_render_args(parser):
+    parser.add_argument("--num_views", type=int, default=90)
+    parser.add_argument("--downscale", type=float, default=1)
+    parser.add_argument("--rayschunk", type=int, default=4096)
+    parser.add_argument("--camera_path", type=str, default="spiral")
+    parser.add_argument("--load_pt", type=str, default=None)
+    parser.add_argument("--H", type=int, default=None)
+    parser.add_argument("--H_scale", type=float, default=None)
+    parser.add_argument("--W", type=int, default=None)
+    parser.add_argument("--W_scale", type=float, default=None)
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--outbase", type=str, default=None)
+    parser.add_argument("--outdirectory", type=str, default=None)
+    parser.add_argument("--background", type=int, default=None)
+    parser.add_argument("--test_frame", type=int, default=None)
+    parser.add_argument("--spiral_rad", type=float, nargs="+", default=[])
+    parser.add_argument("--dataset_split", default="entire", type=str)
+    return parser
+
+
+if __name__ == "__main__":
+    parser = create_args_parser()
+    parser = create_render_args(parser)
+    args, unknown = parser.parse_known_args()
+    config = load_config(args, unknown)
+    main_function(config)

@@ -1,0 +1,243 @@
+"""Editing suite: alignment, swapping transfer, uv filling math, geometry
+editing, paint grad masking, and the TextureEditableNeuMesh blend."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neumesh_tpu.dataio.synthetic import sphere_mesh
+from neumesh_tpu.editing.align import (
+    estimate_transform_from_corr,
+    icp_point_to_point,
+    umeyama,
+)
+from neumesh_tpu.editing.editable import EditablePrimitive, EditingParams
+from neumesh_tpu.editing.texture_model import (
+    TextureEditableNeuMesh,
+    make_editable_params,
+)
+from neumesh_tpu.mesh import MeshGrid
+from neumesh_tpu.models.neumesh.model import NeuMesh
+
+
+def make_model(seed=0, **kw):
+    mesh = sphere_mesh(radius=0.5, n_theta=16, n_phi=32)
+    mg = MeshGrid(mesh, distance_method="brute")
+    model = NeuMesh(mg, D_density=2, D_color=2, W=32, geometry_dim=4,
+                    color_dim=4, multires_view=2, multires_d=4,
+                    multires_fg=1, multires_ft=1,
+                    enable_nablas_input=False, **kw)
+    params = model.init(jax.random.PRNGKey(seed))
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+def test_umeyama_recovers_similarity(rng):
+    src = rng.normal(size=(50, 3))
+    R_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    s, t = 1.7, np.array([0.3, -0.5, 1.0])
+    dst = s * src @ R_true.T + t
+    T = umeyama(src, dst)
+    np.testing.assert_allclose(T[:3, :3], s * R_true, atol=1e-8)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-8)
+
+
+def test_icp_refines_noisy_init(rng):
+    pts = rng.normal(size=(500, 3))
+    R_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    t = np.array([0.05, -0.02, 0.03])
+    dst = pts @ R_true.T + t
+    # init: slightly perturbed truth
+    T0 = np.eye(4)
+    T0[:3, :3] = R_true
+    T0[:3, 3] = t + 0.01
+    T = icp_point_to_point(pts, dst, threshold=0.2, init=T0)
+    moved = pts @ T[:3, :3].T + T[:3, 3]
+    assert np.abs(moved - dst).max() < 1e-4
+
+
+def test_estimate_transform_from_corr(rng):
+    pts = rng.normal(size=(200, 3))
+    R_true, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    dst = 1.2 * pts @ R_true.T + [0.1, 0.2, 0.3]
+    corr = np.stack([np.arange(10), np.arange(10)], 1)
+    T = estimate_transform_from_corr(pts, dst, corr, refine=False)
+    moved = pts @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(moved, dst, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+def test_editing_params_uv_normalize():
+    uv = np.array([[2.0, 4.0], [4.0, 5.0], [3.0, 4.5]])
+    p = EditingParams(np.ones(3, bool), uv.copy(), np.arange(3))
+    p.normalize_uv(keep_wh=True)
+    # longest side (u: span 2) normalised to [0, 1]; aspect kept
+    assert p.uv[..., 0].max() == pytest.approx(1.0)
+    assert p.uv[..., 1].max() == pytest.approx(0.5)
+
+
+def test_texture_editable_blend_masks():
+    """Inside the edit region the color must come from the ref model;
+    outside, from the main model."""
+    main_model, main_params = make_model(0)
+    ref_model, ref_params = make_model(1)
+
+    n_verts = main_model.num_vertices
+    verts = np.asarray(main_model.mesh_grid.vertices)
+    mask = verts[:, 2] > 0.2  # top cap edited
+    edit_feats = np.asarray(ref_params["color_features"]).copy()
+
+    em = TextureEditableNeuMesh(
+        main_model, [ref_model], mask[None, :], T_r_m_list=None)
+    ep = make_editable_params(main_params, [ref_params], [edit_feats])
+
+    # sample points near surface: one in the edit cap, one on the bottom
+    x = jnp.asarray(np.array([[0.0, 0.0, 0.52], [0.0, 0.0, -0.52]],
+                             np.float32))
+    v = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (2, 1)).astype(np.float32))
+
+    sdf, blend = em.forward(ep, x, v)
+    sdf_main, color_main = main_model.forward(main_params, x, v)
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(sdf_main),
+                               atol=1e-5)
+    blend = np.asarray(blend)
+    color_main = np.asarray(color_main)
+    # bottom point: far from edit region -> identical to main
+    np.testing.assert_allclose(blend[1], color_main[1], atol=1e-5)
+    # top point: fully inside edit region -> differs from main
+    assert np.abs(blend[0] - color_main[0]).max() > 1e-3
+
+    # full-ref check: top point weights are all masked -> equals ref color
+    ds, idx, w = main_model.compute_distance(main_params, x)
+    ref_color = ref_model.forward_color(
+        ref_params, ds, v, jnp.asarray(edit_feats), idx, w)
+    np.testing.assert_allclose(blend[0], np.asarray(ref_color)[0], atol=1e-4)
+
+
+def test_texture_editable_protocol_render():
+    from neumesh_tpu.render.volume import volume_render_rays
+
+    main_model, main_params = make_model(0)
+    ref_model, ref_params = make_model(1)
+    mask = np.ones(main_model.num_vertices, bool)
+    em = TextureEditableNeuMesh(main_model, [ref_model], mask[None],
+                                T_r_m_list=[np.eye(4)])
+    ep = make_editable_params(
+        main_params, [ref_params],
+        [np.asarray(ref_params["color_features"])])
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (4, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    ret = volume_render_rays(em, ep, o, d, jax.random.PRNGKey(0),
+                             detailed_output=False, N_samples=16,
+                             N_importance=16, N_upsample_iters=2,
+                             bounded_near_far=True)
+    assert np.isfinite(np.asarray(ret["rgb"])).all()
+
+
+# ---------------------------------------------------------------------------
+def test_swap_transfer_writes_masked_codes():
+    from neumesh_tpu.editing.swap import TextureSwappingRender
+
+    main_model, main_params = make_model(0)
+    ref_model, ref_params = make_model(1)
+    mask_main = np.asarray(main_model.mesh_grid.vertices)[:, 2] > 0.0
+    mask_ref = np.asarray(ref_model.mesh_grid.vertices)[:, 2] > 0.0
+
+    mp = EditablePrimitive(main_model, main_params,
+                           [EditingParams(mask_main)])
+    rp = EditablePrimitive(ref_model, ref_params, [EditingParams(mask_ref)])
+
+    r = TextureSwappingRender()
+    r.transfer(mp, mp.get_editing_params(0), rp, rp.get_editing_params(0),
+               np.eye(4), Kc=4)
+    edited = mp.edit_color_features
+    assert np.abs(edited[mask_main]).sum() > 0
+    np.testing.assert_allclose(edited[~mask_main], 0.0)
+    # identity transform + identical meshes: nearest ref vertex is itself,
+    # so the transferred feature ~= ref feature at the same vertex
+    ref_feats = np.asarray(ref_params["color_features"])
+    cc = np.corrcoef(edited[mask_main].ravel(),
+                     ref_feats[mask_main].ravel())[0, 1]
+    assert cc > 0.95, cc
+
+
+def test_fill_tiling_weights():
+    from neumesh_tpu.editing.fill import TextureFillingRender
+
+    rng = np.random.default_rng(0)
+    main_uv = rng.uniform(0, 1, size=(200, 2))
+    ref_uv = rng.uniform(0, 1, size=(100, 2))
+    mp = EditingParams(np.ones(200, bool), main_uv.copy(), np.arange(200))
+    rp = EditingParams(np.ones(100, bool), ref_uv.copy(), np.arange(100))
+    w, ref_idx, main_idx = TextureFillingRender.compute_transition_weights(
+        mp, rp, steps=2, Kc=4)
+    assert w.shape == (200, 4)
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert ref_idx.shape == (200, 4)
+    assert (main_idx == np.arange(200)).all()
+
+
+# ---------------------------------------------------------------------------
+def test_geometry_editing_rotates_indicators():
+    from neumesh_tpu.editing.geometry import deform_model
+
+    model, params = make_model(0)
+    orig_ind = np.asarray(params["indicator_vector"]).copy()
+    # deform: squash the sphere along z (normals rotate)
+    mesh = model.mesh_grid.mesh
+    from neumesh_tpu.mesh.triangle_mesh import TriangleMesh
+    new_v = mesh.vertices.copy()
+    new_v[:, 2] *= 0.5
+    deformed = TriangleMesh(new_v, mesh.triangles.copy())
+
+    params2 = deform_model(deformed, model, params)
+    new_ind = np.asarray(params2["indicator_vector"])
+    assert np.isfinite(new_ind).all()
+    # indicators follow the new normals: cos(new_ind, new_normals) high
+    nn = np.asarray(model.mesh_grid.vertex_normals)
+    cos = np.sum(new_ind * nn, -1) / (
+        np.linalg.norm(new_ind, axis=-1) * np.linalg.norm(nn, axis=-1))
+    assert cos.mean() > 0.95
+    # and the scaffold was swapped
+    np.testing.assert_allclose(
+        np.asarray(model.mesh_grid.vertices)[:, 2],
+        new_v[:, 2], atol=1e-5)
+    assert np.abs(new_ind - orig_ind).max() > 1e-3
+
+
+def test_paint_grad_mask():
+    from neumesh_tpu.editing.paint_train import make_grad_mask
+
+    model, params = make_model(0)
+    idx = np.array([3, 7, 11])
+    mask = make_grad_mask(params, idx)
+    grads = jax.tree.map(lambda x: jnp.ones_like(x), params)
+    masked = jax.tree.map(lambda g, m: g * m, grads, mask)
+    cf = np.asarray(masked["color_features"])
+    assert np.allclose(cf[idx], 1.0)
+    other = np.delete(cf, idx, axis=0)
+    assert np.allclose(other, 0.0)
+    assert float(jnp.sum(jnp.abs(masked["ln_s"]))) == 0.0
+    assert sum(float(jnp.sum(jnp.abs(x)))
+               for x in jax.tree_util.tree_leaves(masked["pts_linears"])) == 0
+
+
+def test_paint_ray_casting_finds_vertices():
+    from neumesh_tpu.editing.paint_train import get_optimized_features
+
+    model, _ = make_model(0)
+    # rays at the north pole
+    n = 32
+    rng = np.random.default_rng(0)
+    o = np.tile([[0.0, 0.0, 2.0]], (n, 1)) + rng.normal(size=(n, 3)) * 0.01
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1))
+    idx = get_optimized_features(model.mesh_grid, o, d)
+    assert len(idx) > 0
+    touched = np.asarray(model.mesh_grid.vertices)[idx]
+    assert touched[:, 2].min() > 0.4  # all near north pole

@@ -108,3 +108,20 @@ def test_sample_pdf_concentrates_mass(rng):
     s = np.asarray(s)
     frac_in_bin = np.mean((s >= 0.3) & (s <= 0.4))
     assert frac_in_bin > 0.9
+
+
+def test_barycentric_reconstructs_point(rng):
+    from neumesh_tpu.ops.geo import barycentric_coordinates
+
+    a = rng.normal(size=(20, 3))
+    b = rng.normal(size=(20, 3))
+    c = rng.normal(size=(20, 3))
+    # random points in the triangle plane
+    u = rng.uniform(0, 1, (20, 1))
+    v = rng.uniform(0, 1, (20, 1)) * (1 - u)
+    w = 1 - u - v
+    p = u * a + v * b + w * c
+    bc = barycentric_coordinates(p, a, b, c)
+    np.testing.assert_allclose(bc, np.concatenate([u, v, w], -1), atol=1e-9)
+    recon = bc[:, :1] * a + bc[:, 1:2] * b + bc[:, 2:3] * c
+    np.testing.assert_allclose(recon, p, atol=1e-9)
