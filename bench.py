@@ -20,8 +20,8 @@ def main():
     import jax
     # persistent compile cache: repeated bench runs (and the driver's) skip
     # the multi-minute XLA compile of the full render program
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "neumesh_tpu_jax")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -29,13 +29,13 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.dataio.synthetic import icosphere_mesh
     from neumesh_tpu.mesh import MeshGrid
     from neumesh_tpu.models.neumesh.model import NeuMesh
     from neumesh_tpu.render.volume import volume_render_rays
 
     # flagship-config NeuMesh on a realistic-density scaffold
-    mesh = sphere_mesh(radius=0.5, n_theta=100, n_phi=200)  # 20k verts
+    mesh = icosphere_mesh(radius=0.5, subdivisions=6)  # 41k verts, uniform
     mesh_grid = MeshGrid(mesh, distance_method="grid")
     model = NeuMesh(
         mesh_grid, D_density=3, D_color=4, W=256, geometry_dim=32,

@@ -242,7 +242,8 @@ class NeuMesh:
     # ------------------------------------------------------------------
 
     def make_ray_context(self, params, rays_o, rays_d, near, far,
-                         n_probes: int = 8, kp_per_probe=None):
+                         n_probes: int = 8, kp_per_probe=None,
+                         with_features: bool = True):
         """Build the per-ray candidate cache. rays_o/d: (R, 3);
         near/far: (R, 1). Returns a dict of (R, C, ...) arrays or None when
         no candidate grid is available (brute mode).
@@ -281,24 +282,27 @@ class NeuMesh:
         ind_ext = jnp.concatenate(
             [params["indicator_vector"],
              jnp.zeros((1, 3), jnp.float32)], axis=0)
-        geo_ext = jnp.concatenate(
-            [params["geometry_features"],
-             jnp.zeros((1, self.geometry_dim), jnp.float32)], axis=0)
-        col_ext = jnp.concatenate(
-            [params["color_features"],
-             jnp.zeros((1, self.color_dim), jnp.float32)], axis=0)
+        if with_features:
+            geo_ext = jnp.concatenate(
+                [params["geometry_features"],
+                 jnp.zeros((1, self.geometry_dim), jnp.float32)], axis=0)
+            col_ext = jnp.concatenate(
+                [params["color_features"],
+                 jnp.zeros((1, self.color_dim), jnp.float32)], axis=0)
 
         pts = verts_ext[ids]                             # (R, C, 3)
         ind = ind_ext[ids]                               # (R, C, 3)
-        return {
+        ctx = {
             "ids": ids,
             "pts": pts,
             "pp": jnp.sum(pts * pts, axis=-1),           # (R, C)
             "ind": ind,
             "vn": jnp.sum(pts * ind, axis=-1),           # (R, C)
-            "geo": geo_ext[ids],                         # (R, C, Fg)
-            "col": col_ext[ids],                         # (R, C, Fc)
         }
+        if with_features:
+            ctx["geo"] = geo_ext[ids]                    # (R, C, Fg)
+            ctx["col"] = col_ext[ids]                    # (R, C, Fc)
+        return ctx
 
     def _ctx_distance_parts(self, params, ctx, xyz, K: int = 8):
         """xyz: (R, S, 3) -> (ds (R, S, 1), W (R, S, C) detached kNN
@@ -369,14 +373,15 @@ class NeuMesh:
         return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
 
     def bind_rays(self, params, rays_o, rays_d, near, far,
-                  n_probes: int = 8):
+                  n_probes: int = 8, with_features: bool = True):
         """Returns a protocol-compatible view of this model specialised to a
         ray batch, or None when no candidate grid exists. Leading batch
         dims of the rays are flattened into the ray axis."""
         prefix = rays_o.shape[:-1]
         ctx = self.make_ray_context(
             params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-            near.reshape(-1, 1), far.reshape(-1, 1), n_probes)
+            near.reshape(-1, 1), far.reshape(-1, 1), n_probes,
+            with_features=with_features)
         if ctx is None:
             return None
         return RayBoundNeuMesh(self, ctx, prefix)
@@ -458,3 +463,43 @@ class RayBoundNeuMesh:
             nabla = None
         color = m._ctx_color(params, self.ctx, d_emb, v, W, nabla)
         return self._unflat(density[..., 0]), self._unflat(color)
+
+
+def candidate_bounded_near_far(ctx, rays_o, rays_d, near, far,
+                               distance_thresh: float = 0.1):
+    """Mesh-bounded near/far from per-ray candidate geometry (closed form).
+
+    Replaces the reference's 256-probe interpolated-distance scan
+    (models/renderer.py:66-102) with the exact segment where the ray passes
+    within `distance_thresh` of a candidate vertex:
+
+        t_c      = <v_c - o, d>
+        d_perp^2 = |v_c - o|^2 - t_c^2
+        ray within thresh of v_c for t in [t_c - s, t_c + s],
+        s = sqrt(thresh^2 - d_perp^2)
+
+    near/far = min/max over covered candidates, clamped to the input
+    bounds; same 'too close' compensation as the reference
+    (models/renderer.py:99-101). rays/near/far: (R, 3)/(R, 1).
+    """
+    ov = ctx["pts"] - rays_o[:, None, :]                  # (R, C, 3)
+    t_c = jnp.einsum("rcd,rd->rc", ov, rays_d)
+    d_perp2 = jnp.sum(ov * ov, axis=-1) - t_c * t_c
+    s2 = distance_thresh * distance_thresh - d_perp2
+    covered = s2 > 0
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+
+    t_lo = jnp.where(covered, t_c - s, 1e10)
+    t_hi = jnp.where(covered, t_c + s, -1e10)
+    near_new = jnp.min(t_lo, axis=-1, keepdims=True)
+    far_new = jnp.max(t_hi, axis=-1, keepdims=True)
+    near_new = jnp.clip(near_new, near, far)
+    far_new = jnp.clip(far_new, near, far)
+    hit = jnp.any(covered, axis=-1, keepdims=True)
+    near_new = jnp.where(hit, near_new, near)
+    far_new = jnp.where(hit, far_new, far)
+
+    too_close = (far_new - near_new) < 0.1
+    far_new = jnp.where(too_close, far_new + 0.05, far_new)
+    near_new = jnp.where(too_close, near_new - 0.05, near_new)
+    return near_new, far_new

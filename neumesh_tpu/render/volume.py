@@ -98,14 +98,21 @@ def volume_render_rays(
     near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
     can_bind = hasattr(model, "bind_rays") and rays_o.ndim >= 2
     if bounded_near_far and hasattr(model, "compute_distance"):
-        bound_model = model
-        if can_bind:
-            pre = model.bind_rays(params, rays_o, rays_d, near, far,
-                                  n_probes=16)
-            if pre is not None:
-                bound_model = pre
-        near, far = compute_bounded_near_far(
-            bound_model, params, rays_o, rays_d, near, far)
+        pre = model.bind_rays(params, rays_o, rays_d, near, far,
+                              n_probes=16, with_features=False) \
+            if can_bind else None
+        if pre is not None:
+            # closed-form candidate-geometry bounding (no probe scan)
+            from ..models.neumesh.model import candidate_bounded_near_far
+            shp = near.shape
+            near_f, far_f = candidate_bounded_near_far(
+                pre.ctx, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                near.reshape(-1, 1), far.reshape(-1, 1))
+            near = near_f.reshape(shp)
+            far = far_f.reshape(shp)
+        else:
+            near, far = compute_bounded_near_far(
+                model, params, rays_o, rays_d, near, far)
     if near_bypass is not None:
         near = jnp.full_like(near, near_bypass)
     if far_bypass is not None:

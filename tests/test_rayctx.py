@@ -67,7 +67,7 @@ def test_ctx_density_matches_reference_path():
 
     dens_ref = np.asarray(ref_model.forward_density_only(params, pts))
     dens_ctx = np.asarray(bound.forward_density_only(params, pts))
-    np.testing.assert_allclose(dens_ctx, dens_ref, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(dens_ctx, dens_ref, atol=8e-4, rtol=2e-3)
 
 
 def test_ctx_distance_matches_reference_path():
@@ -79,7 +79,7 @@ def test_ctx_distance_matches_reference_path():
     ds_ref, _, _ = ref_model.compute_distance(params, pts)
     ds_ctx, _, _ = bound.compute_distance(params, pts)
     np.testing.assert_allclose(np.asarray(ds_ctx), np.asarray(ds_ref),
-                               atol=2e-4, rtol=1e-3)
+                               atol=8e-4, rtol=2e-3)
 
 
 def test_ctx_forward_matches_reference_path():
@@ -92,7 +92,7 @@ def test_ctx_forward_matches_reference_path():
     sdf_ref, rgb_ref = ref_model.forward(params, pts, dirs)
     sdf_ctx, rgb_ctx = bound.forward(params, pts, dirs)
     np.testing.assert_allclose(np.asarray(sdf_ctx), np.asarray(sdf_ref),
-                               atol=2e-4, rtol=1e-3)
+                               atol=8e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(rgb_ctx), np.asarray(rgb_ref),
                                atol=2e-3)
 
@@ -106,7 +106,7 @@ def test_ctx_nablas_match():
     sdf_ref, nab_ref = ref_model.forward_with_nablas(params, pts)
     sdf_ctx, nab_ctx = bound.forward_with_nablas(params, pts)
     np.testing.assert_allclose(np.asarray(sdf_ctx), np.asarray(sdf_ref),
-                               atol=2e-4, rtol=1e-3)
+                               atol=8e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(nab_ctx), np.asarray(nab_ref),
                                atol=5e-3, rtol=1e-2)
 
