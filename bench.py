@@ -35,7 +35,7 @@ def main():
     from neumesh_tpu.render.volume import volume_render_rays
 
     # flagship-config NeuMesh on a realistic-density scaffold
-    mesh = icosphere_mesh(radius=0.5, subdivisions=6)  # 41k verts, uniform
+    mesh = icosphere_mesh(radius=0.5, subdivisions=5)  # 10k verts, uniform
     mesh_grid = MeshGrid(mesh, distance_method="grid")
     model = NeuMesh(
         mesh_grid, D_density=3, D_color=4, W=256, geometry_dim=32,

@@ -243,7 +243,7 @@ class NeuMesh:
 
     def make_ray_context(self, params, rays_o, rays_d, near, far,
                          n_probes: int = 8, kp_per_probe=None,
-                         with_features: bool = True):
+                         with_features: bool = True, max_candidates=96):
         """Build the per-ray candidate cache. rays_o/d: (R, 3);
         near/far: (R, 1). Returns a dict of (R, C, ...) arrays or None when
         no candidate grid is available (brute mode).
@@ -275,6 +275,22 @@ class NeuMesh:
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
         ids = jnp.where(dup, n_verts, ids)               # sentinel out dups
+
+        # compact: adjacent probes share cells, so many slots are duplicate
+        # sentinels; keep the max_candidates candidates CLOSEST to the ray
+        # segment (cuts the (R, S, C) working set of every sample query)
+        if max_candidates is not None and ids.shape[1] > max_candidates:
+            verts_all = jnp.concatenate(
+                [self.mesh_grid.vertices,
+                 jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
+            vp = verts_all[ids]                          # (R, C, 3)
+            ov = vp - rays_o[:, None, :]
+            t_c = jnp.einsum("rcd,rd->rc", ov, rays_d)
+            t_c = jnp.clip(t_c, near, far)
+            seg_pt = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
+            d2_seg = jnp.sum((vp - seg_pt) ** 2, axis=-1)
+            _, keep = jax.lax.top_k(-d2_seg, max_candidates)
+            ids = jnp.take_along_axis(ids, keep, axis=-1)
 
         verts_ext = jnp.concatenate(
             [self.mesh_grid.vertices,

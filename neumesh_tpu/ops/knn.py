@@ -69,7 +69,7 @@ class CandidateGrid:
     origin (3,), inv_h scalar, dims (static 3-tuple).
     """
     cand_idx: jnp.ndarray
-    cand_pts: jnp.ndarray
+    cand_pts: object            # lazy: numpy until the per-sample path runs
     origin: jnp.ndarray
     inv_h: jnp.ndarray
     dims: Tuple[int, int, int]
@@ -81,6 +81,15 @@ class CandidateGrid:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, aux[0])
+
+    def _pts_device(self):
+        """Device-resident candidate positions; transferred on first use.
+        The ray-context path only needs cand_idx, so keeping cand_pts lazy
+        avoids shipping the biggest table to the accelerator unless the
+        per-sample query path actually runs."""
+        if not isinstance(self.cand_pts, jnp.ndarray):
+            self.cand_pts = jnp.asarray(np.asarray(self.cand_pts))
+        return self.cand_pts
 
     @property
     def Kp(self) -> int:
@@ -109,7 +118,7 @@ class CandidateGrid:
         cell = jnp.floor((q - self.origin) * self.inv_h).astype(jnp.int32)
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-        cpts = self.cand_pts[flat]          # (Q, Kp, 3)
+        cpts = self._pts_device()[flat]     # (Q, Kp, 3)
         cidx = self.cand_idx[flat]          # (Q, Kp)
         d2 = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)
         neg, sel = jax.lax.top_k(-d2, k)
@@ -180,7 +189,7 @@ def build_candidate_grid(
                 z = np.load(cache_path)
                 return CandidateGrid(
                     cand_idx=jnp.asarray(z["cand_idx"]),
-                    cand_pts=jnp.asarray(z["cand_pts"]),
+                    cand_pts=z["cand_pts"],
                     origin=jnp.asarray(z["origin"]),
                     inv_h=jnp.asarray(z["inv_h"]),
                     dims=tuple(int(x) for x in z["dims"]),
@@ -238,7 +247,7 @@ def build_candidate_grid(
 
     grid = CandidateGrid(
         cand_idx=jnp.asarray(cand_idx),
-        cand_pts=jnp.asarray(cand_pts),
+        cand_pts=np.ascontiguousarray(cand_pts),
         origin=jnp.asarray(lo.astype(np.float32)),
         inv_h=jnp.asarray(np.float32(1.0 / cell_size)),
         dims=tuple(int(d) for d in dims),

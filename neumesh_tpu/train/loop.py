@@ -59,6 +59,10 @@ def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
                                    teacher_params)
         if grad_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
+        # global grad norm (reference utils/train_util.py:6-17 analog)
+        scalars = dict(scalars)
+        scalars["grad_norm"] = jnp.sqrt(sum(
+            jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads)))
         updates, opt_state = opt.update(grads, opt_state, params)
         params = _tree_add(params, updates)
         return params, opt_state, total, scalars

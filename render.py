@@ -72,8 +72,14 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
         render_c2ws = c2w_track_spiral(
             test_pose, normalize(up), rads, focus_distance * 0.8,
             zrate=0.0, rots=1, N=args.num_views)
+    elif args.camera_path == "dataset" or args.get("camera_inds", None):
+        inds = [int(x) for x in str(args.camera_inds or
+                                    "0").replace("~", ",").split(",")
+                if x != ""]
+        render_c2ws = [c2ws[i] for i in inds]
     else:
-        raise RuntimeError("Please choose render type between [spiral]")
+        raise RuntimeError(
+            "Please choose render type between [spiral, dataset]")
 
     render_kwargs_test["rayschunk"] = args.rayschunk
     outbase = args.get("outbase", None) or args.expname
@@ -189,6 +195,11 @@ def create_render_args(parser):
     parser.add_argument("--test_frame", type=int, default=None)
     parser.add_argument("--spiral_rad", type=float, nargs="+", default=[])
     parser.add_argument("--dataset_split", default="entire", type=str)
+    parser.add_argument("--disable_rgb", action="store_true")
+    parser.add_argument(
+        "--camera_inds", type=str, default=None,
+        help="comma-separated dataset view indices to render instead of the "
+             "spiral path (e.g. '0,5,10')")
     return parser
 
 

@@ -241,3 +241,29 @@ def test_paint_ray_casting_finds_vertices():
     assert len(idx) > 0
     touched = np.asarray(model.mesh_grid.vertices)[idx]
     assert touched[:, 2].min() > 0.4  # all near north pole
+
+
+def test_vis_mesh_exports(tmp_path):
+    from neumesh_tpu.utils.vis_mesh import (
+        preview_transfer_on_mesh,
+        vis_and_painting,
+    )
+    from neumesh_tpu.mesh.triangle_mesh import load_ply
+
+    mesh = sphere_mesh(radius=0.5, n_theta=8, n_phi=16)
+    mask = np.zeros(mesh.n_vertices, bool)
+    mask[:10] = True
+    p = vis_and_painting(mesh, mask, str(tmp_path / "mask.ply"))
+    m = load_ply(p)
+    assert m.vertex_colors is not None
+    assert (m.vertex_colors[:10, 0] > 0.9).all()
+
+    ref = sphere_mesh(radius=0.5, n_theta=8, n_phi=16)
+    rng = np.random.default_rng(0)
+    ref_idx = rng.integers(0, ref.n_vertices, (10, 4))
+    w = np.full((10, 4), 0.25)
+    p1, p2 = preview_transfer_on_mesh(
+        mesh, ref, ref_idx, w, np.arange(10),
+        out_prefix=str(tmp_path / "transfer"))
+    assert load_ply(p1).vertex_colors is not None
+    assert load_ply(p2).vertex_colors is not None
