@@ -371,7 +371,7 @@ class NeuMesh:
         (density, d_emb), (dD_dh, _) = jax.jvp(
             dens_of_ds, (ds,), (jnp.ones_like(ds),))
         nabla = dD_dh * dh_dx
-        return density, nabla, d_emb
+        return density, nabla, d_emb, W
 
     def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
         view_emb = self.embed_fn_view(view_dirs)
@@ -461,7 +461,7 @@ class RayBoundNeuMesh:
 
     def forward_with_nablas(self, params, xyz):
         x = self._flat(xyz)
-        density, nabla, _ = self.model._ctx_density_and_nabla(
+        density, nabla, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
 
@@ -470,9 +470,8 @@ class RayBoundNeuMesh:
         x = self._flat(xyz)
         v = self._flat(view_dirs)
         if m.enable_nablas_input:
-            density, nabla, d_emb = m._ctx_density_and_nabla(
+            density, nabla, d_emb, W = m._ctx_density_and_nabla(
                 params, self.ctx, x)
-            _, W = m._ctx_distance_parts(params, self.ctx, x)
         else:
             ds, W = m._ctx_distance_parts(params, self.ctx, x)
             density, d_emb = m._ctx_density(params, self.ctx, ds, W)
