@@ -1,0 +1,114 @@
+"""Quality evaluation CLI: render dataset views from a checkpoint and
+report PSNR/SSIM per view (the reference computed these offline against
+released val splits; BASELINE.md parity plan).
+
+Usage:
+    python eval.py --config logs/<exp>/config.yaml [--views 0,5,10]
+        [--downscale 2] [--val_names path/to/val_names.txt]
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neumesh_tpu.config import create_args_parser, load_config
+from neumesh_tpu.dataio import get_data
+from neumesh_tpu.models import build_framework
+from neumesh_tpu.ops.metrics import psnr as psnr_fn, ssim as ssim_fn
+from neumesh_tpu.ops.rays import get_rays
+from neumesh_tpu.utils.checkpoints import CheckpointIO, sorted_ckpts
+from neumesh_tpu.utils.print_fn import log
+
+
+def main_function(args):
+    model, params, _, _, render_kwargs_test, render_fn = build_framework(
+        args, args.model.framework)
+
+    ckpt_file = args.get("load_pt", None)
+    if ckpt_file is None:
+        ckpts = sorted_ckpts(os.path.join(args.training.exp_dir, "ckpts"))
+        assert ckpts, "no checkpoint found; pass --load_pt"
+        ckpt_file = ckpts[-1]
+    log.info(f"=> Use ckpt: {ckpt_file}")
+    io = CheckpointIO(os.path.dirname(str(ckpt_file)) or ".")
+    loaded = io.load_file(str(ckpt_file))
+    state = loaded.get("model", loaded)
+    if any("weight_v" in str(k) for k in state):
+        from neumesh_tpu.utils.torch_ckpt import (
+            neumesh_state_dict_to_params, neus_state_dict_to_params)
+        params = (neumesh_state_dict_to_params(state, model)
+                  if "geometry_features" in state
+                  else neus_state_dict_to_params(state, model))
+    else:
+        from neumesh_tpu.utils.checkpoints import restore_into
+        params = restore_into(params, state)
+
+    dataset = get_data(args, downscale=args.downscale)
+    H, W = dataset.H, dataset.W
+
+    if args.get("views", None):
+        views = [int(x) for x in str(args.views).split(",") if x != ""]
+    elif args.get("val_names", None):
+        # reference-style val split: file of image basenames (README.md:32)
+        with open(args.val_names) as f:
+            names = {os.path.splitext(line.strip())[0]
+                     for line in f if line.strip()}
+        from neumesh_tpu.dataio.dtu import glob_imgs
+        paths = glob_imgs(os.path.join(args.data.data_dir, "image"))
+        views = [i for i, p in enumerate(paths)
+                 if os.path.splitext(os.path.basename(p))[0] in names]
+        assert views, "no dataset views matched val_names"
+    else:
+        views = list(range(len(dataset)))
+
+    kwargs = {k: v for k, v in render_kwargs_test.items()
+              if k not in ("batched",)}
+    kwargs["rayschunk"] = args.rayschunk
+    kwargs["perturb"] = False
+
+    rows = []
+    for vi in views:
+        _, sample, gt = dataset[vi]
+        ro, rd, _ = get_rays(jnp.asarray(sample["c2w"]),
+                             jnp.asarray(sample["intrinsics"]), H, W)
+        rgb, _, _ = render_fn(params, ro, rd, key=jax.random.PRNGKey(0),
+                              detailed_output=False, **kwargs)
+        pred = np.asarray(rgb).reshape(H, W, 3)
+        ref = np.asarray(gt["rgb"]).reshape(H, W, 3)
+        p = float(psnr_fn(jnp.asarray(pred), jnp.asarray(ref)))
+        s = float(ssim_fn(jnp.asarray(pred.transpose(2, 0, 1)),
+                          jnp.asarray(ref.transpose(2, 0, 1))))
+        rows.append({"view": int(vi), "psnr": round(p, 3),
+                     "ssim": round(s, 4)})
+        log.info(f"view {vi}: psnr {p:.2f} ssim {s:.4f}")
+
+    summary = {
+        "views": rows,
+        "mean_psnr": round(float(np.mean([r["psnr"] for r in rows])), 3),
+        "mean_ssim": round(float(np.mean([r["ssim"] for r in rows])), 4),
+    }
+    out = args.get("out_json", None)
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps({"mean_psnr": summary["mean_psnr"],
+                      "mean_ssim": summary["mean_ssim"],
+                      "n_views": len(rows)}))
+    return summary
+
+
+if __name__ == "__main__":
+    parser = create_args_parser()
+    parser.add_argument("--load_pt", type=str, default=None)
+    parser.add_argument("--downscale", type=float, default=1)
+    parser.add_argument("--rayschunk", type=int, default=4096)
+    parser.add_argument("--views", type=str, default=None)
+    parser.add_argument("--val_names", type=str, default=None)
+    parser.add_argument("--out_json", type=str, default=None)
+    args, unknown = parser.parse_known_args()
+    config = load_config(args, unknown)
+    main_function(config)
