@@ -18,6 +18,10 @@ if __name__ == "__main__":
     args, unknown = parser.parse_known_args()
     with open(args.config) as f:
         config_dict = json.load(f)
-    config_dict.update(vars(args))
+    # CLI wins only when explicitly set (don't clobber JSON values with
+    # argparse None defaults)
+    for k, v in vars(args).items():
+        if v is not None or k not in config_dict:
+            config_dict[k] = v
     config = ConfigDict(config_dict)
     TextureFillingRender().forward(config)
