@@ -236,6 +236,9 @@ def save_ply(mesh: TriangleMesh, path: str, binary: bool = True) -> None:
         props += ["property float nx", "property float ny",
                   "property float nz"]
         cols.append(mesh.vertex_normals.astype(np.float32))
+    if mesh.vertex_uvs is not None:
+        props += ["property float s", "property float t"]
+        cols.append(mesh.vertex_uvs.astype(np.float32))
     has_color = mesh.vertex_colors is not None
     if has_color:
         props += ["property uchar red", "property uchar green",

@@ -57,3 +57,18 @@ def test_empty_field():
     field = np.ones((8, 8, 8))
     mesh = extract_isosurface(field, 0.0, backend="numpy")
     assert mesh.n_vertices == 0 and mesh.n_triangles == 0
+
+
+def test_ply_uv_roundtrip(tmp_path):
+    from neumesh_tpu.mesh.triangle_mesh import TriangleMesh, load_ply, save_ply
+
+    rng = np.random.default_rng(0)
+    m = TriangleMesh(
+        rng.normal(size=(20, 3)),
+        np.stack([np.arange(18), np.arange(1, 19), np.arange(2, 20)], 1))
+    m.vertex_uvs = rng.uniform(size=(20, 2))
+    p = str(tmp_path / "uv.ply")
+    save_ply(m, p)
+    m2 = load_ply(p)
+    assert m2.vertex_uvs is not None
+    np.testing.assert_allclose(m2.vertex_uvs, m.vertex_uvs, atol=1e-6)
