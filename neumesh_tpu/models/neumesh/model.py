@@ -55,6 +55,8 @@ class NeuMesh:
         ln_s: float = 0.2996,
         speed_factor: float = 1.0,
         learn_indicator_weight: bool = True,
+        compute_dtype=None,
+        use_pallas: bool = False,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -67,6 +69,13 @@ class NeuMesh:
         self.ln_s_init = ln_s
         self.learn_indicator_weight = learn_indicator_weight
         self.enable_nablas_input = enable_nablas_input
+        # optional low-precision matmul mode for MLPs + feature interp
+        # (kNN/distance math always stays f32); None = full f32 parity
+        self.compute_dtype = compute_dtype
+        # fused Pallas candidate-field kernel for the ray-bound FORWARD
+        # path (rendering/serving; training keeps the differentiable XLA
+        # path) — see ops/pallas_kernels.py
+        self.use_pallas = use_pallas
 
         self.embed_fn_d, self.input_ch_d = get_embedder(
             multires_d, input_dim=input_d_dim)
@@ -345,16 +354,24 @@ class NeuMesh:
         ds = jnp.sum(W * per_c, axis=-1, keepdims=True)  # (R, S, 1)
         return ds, W
 
-    def _ctx_density(self, params, ctx, ds, W):
+    def _density_from_interp(self, params, ds, fg):
+        """Geometry MLP on (embedded ds, embedded pre-interpolated fg)."""
+        dt = self.compute_dtype
         d_emb = self.embed_fn_d(ds)
-        fg = jnp.einsum("rsc,rcf->rsf", W, ctx["geo"],
-                        preferred_element_type=jnp.float32)
         fg_emb = self.embed_fn_fg(fg)
         h = jnp.concatenate([d_emb, fg_emb], axis=-1)
         for p in params["pts_linears"]:
-            h = softplus100(maybe_wnorm_apply(p, h))
-        density = maybe_wnorm_apply(params["density_linear"], h)
+            h = softplus100(maybe_wnorm_apply(p, h, dt))
+        density = maybe_wnorm_apply(params["density_linear"], h, dt)
         return density, d_emb
+
+    def _ctx_density(self, params, ctx, ds, W):
+        dt = self.compute_dtype
+        Wm = W if dt is None else W.astype(dt)
+        geo = ctx["geo"] if dt is None else ctx["geo"].astype(dt)
+        fg = jnp.einsum("rsc,rcf->rsf", Wm, geo,
+                        preferred_element_type=jnp.float32)
+        return self._density_from_interp(params, ds, fg)
 
     def _ctx_density_and_nabla(self, params, ctx, xyz):
         def h_of_x(x):
@@ -373,20 +390,28 @@ class NeuMesh:
         nabla = dD_dh * dh_dx
         return density, nabla, d_emb, W
 
-    def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
+    def _color_from_interp(self, params, d_emb, view_dirs, ft, nabla):
+        dt = self.compute_dtype
         view_emb = self.embed_fn_view(view_dirs)
         parts = []
         if self.enable_nablas_input:
             parts.append(nabla)
         parts.append(d_emb)
         parts.append(view_emb)
-        ft = jnp.einsum("rsc,rcf->rsf", W, ctx["col"],
-                        preferred_element_type=jnp.float32)
         parts.append(self.embed_fn_ft(ft))
         h = jnp.concatenate(parts, axis=-1)
         for p in params["views_linears"]:
-            h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
-        return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
+            h = jnp.maximum(maybe_wnorm_apply(p, h, dt), 0.0)
+        return jax.nn.sigmoid(
+            maybe_wnorm_apply(params["color_linear"], h, dt))
+
+    def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
+        dt = self.compute_dtype
+        Wm = W if dt is None else W.astype(dt)
+        col = ctx["col"] if dt is None else ctx["col"].astype(dt)
+        ft = jnp.einsum("rsc,rcf->rsf", Wm, col,
+                        preferred_element_type=jnp.float32)
+        return self._color_from_interp(params, d_emb, view_dirs, ft, nabla)
 
     def bind_rays(self, params, rays_o, rays_d, near, far,
                   n_probes: int = 8, with_features: bool = True):
@@ -446,6 +471,34 @@ class RayBoundNeuMesh:
     def forward_s(self, params):
         return self.model.forward_s(params)
 
+    # ---- fused Pallas path (forward-only; ops/pallas_kernels.py) --------
+    def _fused_parts(self, params, xyz):
+        from ...ops.pallas_kernels import candidate_field
+        m = self.model
+        w1 = m.forward_indicator_weight(params)
+        # interpret mode off-TPU (CPU tests / debugging)
+        interpret = jax.default_backend() != "tpu"
+        return candidate_field(
+            xyz, self.ctx["pts"], self.ctx["pp"], self.ctx["ind"],
+            self.ctx["vn"], self.ctx["geo"], self.ctx["col"], w1,
+            interpret=interpret)
+
+    def _fused_density_nabla(self, params, xyz, need_nabla: bool):
+        m = self.model
+        ds, dh, fg, ft = self._fused_parts(params, xyz)
+
+        if not need_nabla:
+            density, d_emb = m._density_from_interp(params, ds, fg)
+            return density, None, d_emb, ft
+
+        def dens_of_ds(d):
+            return m._density_from_interp(params, d, fg)
+
+        (density, d_emb), (dD_dh, _) = jax.jvp(
+            dens_of_ds, (ds,), (jnp.ones_like(ds),))
+        nabla = dD_dh * dh
+        return density, nabla, d_emb, ft
+
     def compute_distance(self, params, xyz, K: int = 8):
         """(ds, None, None): callers on the ray-bound path (the renderer's
         mesh-bounded near/far) consume only ds."""
@@ -455,12 +508,18 @@ class RayBoundNeuMesh:
 
     def forward_density_only(self, params, xyz):
         x = self._flat(xyz)
+        if self.model.use_pallas:
+            density, _, _, _ = self._fused_density_nabla(params, x, False)
+            return self._unflat(density[..., 0])
         ds, W = self.model._ctx_distance_parts(params, self.ctx, x)
         density, _ = self.model._ctx_density(params, self.ctx, ds, W)
         return self._unflat(density[..., 0])
 
     def forward_with_nablas(self, params, xyz):
         x = self._flat(xyz)
+        if self.model.use_pallas:
+            density, nabla, _, _ = self._fused_density_nabla(params, x, True)
+            return self._unflat(density[..., 0]), self._unflat(nabla)
         density, nabla, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
@@ -469,6 +528,11 @@ class RayBoundNeuMesh:
         m = self.model
         x = self._flat(xyz)
         v = self._flat(view_dirs)
+        if m.use_pallas:
+            density, nabla, d_emb, ft = self._fused_density_nabla(
+                params, x, m.enable_nablas_input)
+            color = m._color_from_interp(params, d_emb, v, ft, nabla)
+            return self._unflat(density[..., 0]), self._unflat(color)
         if m.enable_nablas_input:
             density, nabla, d_emb, W = m._ctx_density_and_nabla(
                 params, self.ctx, x)

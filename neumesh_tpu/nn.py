@@ -69,10 +69,16 @@ def maybe_wnorm_init(key, in_dim, out_dim, weight_norm: bool) -> Params:
     return (wnorm_linear_init if weight_norm else linear_init)(key, in_dim, out_dim)
 
 
-def maybe_wnorm_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "g" in p:
-        return wnorm_linear_apply(p, x)
-    return linear_apply(p, x)
+def maybe_wnorm_apply(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Apply a (weight-norm) linear. With `dtype` (e.g. bfloat16), the
+    matmul inputs are cast down while accumulating in f32 on the MXU;
+    bias add stays f32."""
+    w = wnorm_weight(p) if "g" in p else p["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
+    return x @ w + p["b"]
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,76 @@ def test_ctx_render_matches_unbound_render():
     d_err = np.abs(np.asarray(ret_fast["depth_volume"])
                    - np.asarray(ret_ref["depth_volume"]))
     assert np.max(d_err * acc) < 2e-2, (d_err, acc)
+
+
+def test_bf16_compute_mode_close_to_f32():
+    """compute_dtype=bfloat16 keeps outputs within render tolerance of f32
+    (geometry/kNN math stays f32)."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh as _sm
+
+    mesh = _sm(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    m32 = NeuMesh(mg, **kw)
+    m16 = NeuMesh(mg, compute_dtype=jnp.bfloat16, **kw)
+    params = m32.init(jax.random.PRNGKey(0))
+
+    o, d = camera_rays(8)
+    pts, near, far = sample_points(o, d)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    b32 = m32.bind_rays(params, o, d, near, far)
+    b16 = m16.bind_rays(params, o, d, near, far)
+    s32, c32 = b32.forward(params, pts, dirs)
+    s16, c16 = b16.forward(params, pts, dirs)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=2e-2)
+
+
+def test_pallas_forward_matches_xla_path():
+    """use_pallas=True (interpret mode on CPU) must match the XLA ctx path."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh as _sm
+
+    mesh = _sm(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    m_x = NeuMesh(mg, **kw)
+    m_p = NeuMesh(mg, use_pallas=True, **kw)
+    params = m_x.init(jax.random.PRNGKey(0))
+
+    o, d = camera_rays(8)
+    pts, near, far = sample_points(o, d)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    b_x = m_x.bind_rays(params, o, d, near, far)
+    b_p = m_p.bind_rays(params, o, d, near, far)
+
+    def close(a, b, atol, frac=0.97):
+        # near-ties at the top-8 boundary legitimately differ between the
+        # kernel's threshold loop and top_k; demand the vast majority match
+        ok = np.abs(np.asarray(a) - np.asarray(b)) <= atol
+        assert ok.mean() >= frac, (ok.mean(),
+                                   np.abs(np.asarray(a)
+                                          - np.asarray(b)).max())
+
+    s_x, c_x = b_x.forward(params, pts, dirs)
+    s_p, c_p = b_p.forward(params, pts, dirs)
+    close(s_p, s_x, 1e-4)
+    close(c_p, c_x, 1e-3)
+
+    d_x = b_x.forward_density_only(params, pts)
+    d_p = b_p.forward_density_only(params, pts)
+    close(d_p, d_x, 1e-4)
+
+    sn_x, n_x = b_x.forward_with_nablas(params, pts)
+    sn_p, n_p = b_p.forward_with_nablas(params, pts)
+    close(n_p, n_x, 2e-3)
