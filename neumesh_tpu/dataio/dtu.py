@@ -206,3 +206,53 @@ class SceneDataset:
 
     def get_scale_mat(self):
         return np.load(self.cam_file)["scale_mat_0"]
+
+    # selected-view export utilities (reference DTU.py:170-271)
+    def get_gt_pose(self, scaled: bool = True):
+        """c2w poses without the unit-sphere normalisation option
+        (reference DTU.py:173-194)."""
+        camera_dict = np.load(self.cam_file)
+        n = len(self)
+        poses = []
+        for i in range(n):
+            P = camera_dict[f"world_mat_{i}"].astype(np.float32)
+            if scaled:
+                P = P @ camera_dict[f"scale_mat_{i}"].astype(np.float32)
+            _, pose = load_K_Rt_from_P(P[:3, :4])
+            poses.append(pose)
+        return np.stack(poses)
+
+    def get_selected_pose_data(self, select_ids=None):
+        """Camera dict for a subset of views incl. inverses
+        (reference DTU.py:223-249)."""
+        camera_dict = np.load(self.cam_file)
+        n = len(self)
+        if select_ids is None:
+            select_ids = range(n)
+        out = {}
+        for i, vid in enumerate(select_ids):
+            sm = camera_dict[f"scale_mat_{vid}"].astype(np.float32)
+            wm = camera_dict[f"world_mat_{vid}"].astype(np.float32)
+            out[f"scale_mat_{i}"] = sm
+            out[f"scale_mat_inv_{i}"] = np.linalg.inv(sm)
+            out[f"world_mat_{i}"] = wm
+            out[f"world_mat_inv_{i}"] = np.linalg.inv(wm)
+        return out
+
+    def save_selected_data(self, selected_ids, out_dir: str):
+        """Export a view subset as a standalone DTU-format dataset
+        (reference DTU.py:251-271)."""
+        import imageio.v2 as imageio
+        os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
+        for i, vid in enumerate(selected_ids):
+            img = (np.clip(self.rgb_images[vid], 0, 1)
+                   .reshape(self.H, self.W, 3) * 255).astype(np.uint8)
+            msk = (self.object_masks[vid].reshape(self.H, self.W)
+                   * 255).astype(np.uint8)
+            imageio.imwrite(
+                os.path.join(out_dir, "image", f"{i:04d}.png"), img)
+            imageio.imwrite(
+                os.path.join(out_dir, "mask", f"{i:04d}.png"), msk)
+        np.savez(os.path.join(out_dir, "cameras_sphere.npz"),
+                 **self.get_selected_pose_data(selected_ids))

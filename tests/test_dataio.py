@@ -83,3 +83,20 @@ def test_scale_radius(scene_dir):
     d1 = ds_scaled.c2w_all[0][:3, 3] / np.linalg.norm(
         ds_scaled.c2w_all[0][:3, 3])
     np.testing.assert_allclose(d0, d1, atol=1e-6)
+
+
+def test_selected_view_export(scene_dir, tmp_path):
+    args = make_args(scene_dir)
+    ds = get_data(args)
+    out = str(tmp_path / "subset")
+    ds.save_selected_data([0, 2], out)
+    # the exported subset loads as a dataset (with cameras_sphere.npz)
+    args2 = make_args(out, cam_file="cameras_sphere.npz")
+    sub = get_data(args2)
+    assert len(sub) == 2
+    np.testing.assert_allclose(sub.c2w_all[0], ds.c2w_all[0], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sub.rgb_images[1]), np.asarray(ds.rgb_images[2]),
+        atol=2 / 255.0)
+    poses = ds.get_gt_pose()
+    assert poses.shape == (6, 4, 4)
