@@ -9,7 +9,6 @@ import abc
 import numpy as np
 
 from ..config import load_yaml
-from ..mesh.triangle_mesh import load_mesh
 from ..utils.checkpoints import load_checkpoint, restore_into
 from ..utils.print_fn import log
 from .editable import EditablePrimitive

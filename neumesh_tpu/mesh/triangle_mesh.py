@@ -9,8 +9,7 @@ raycast, marching cubes) live in neumesh_tpu/cpp with numpy fallbacks.
 """
 from __future__ import annotations
 
-import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -15,15 +15,13 @@ Numerical parity notes:
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import nn as tnn
 from ..nn import (
-    Embedder,
     get_embedder,
     linear_apply,
     linear_init,

@@ -8,7 +8,6 @@ save, and resume — matching the reference's auxiliary behaviour (SURVEY §5).
 """
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -20,7 +19,7 @@ from ..config import backup_sources, save_yaml
 from ..dataio import get_data
 from ..models import build_framework
 from ..parallel import dist, get_device_mesh, ray_sharder
-from ..utils.checkpoints import CheckpointIO, sorted_ckpts
+from ..utils.checkpoints import CheckpointIO
 from ..utils.logger import Logger
 from ..utils.print_fn import log
 from .optimizers import current_lr, get_optimizer

@@ -8,8 +8,6 @@ replaced by sharding the ray batch over a device mesh (see parallel/).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
