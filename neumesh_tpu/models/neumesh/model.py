@@ -566,7 +566,7 @@ def candidate_bounded_near_far(ctx, rays_o, rays_d, near, far,
     d_perp2 = jnp.sum(ov * ov, axis=-1) - t_c * t_c
     s2 = distance_thresh * distance_thresh - d_perp2
     covered = s2 > 0
-    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    s = jnp.sqrt(jnp.where(covered, s2, 1.0)) * covered
 
     t_lo = jnp.where(covered, t_c - s, 1e10)
     t_hi = jnp.where(covered, t_c + s, -1e10)

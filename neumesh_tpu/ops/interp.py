@@ -66,7 +66,9 @@ def interpolated_distance_from_parts(
     avoids global gathers in the per-sample hot loop)."""
     w1 = indicator_weight
     dir_vec = xyz[..., None, :] - nbr_pts                    # (..., K, 3)
-    w2 = jnp.linalg.norm(dir_vec, axis=-1, keepdims=True)    # (..., K, 1)
+    # safe norm (bounded gradient when a query coincides with a vertex)
+    w2 = jnp.sqrt(jnp.sum(dir_vec * dir_vec, axis=-1,
+                          keepdims=True) + 1e-20)            # (..., K, 1)
     middle_vec = (nbr_ind * w1 + dir_vec * w2) / (w1 + w2)
     per_k = weights[..., None] * jnp.sum(
         dir_vec * middle_vec, axis=-1, keepdims=True)        # (..., K, 1)

@@ -118,7 +118,10 @@ class Trainer:
 
         if use_eikonal_loss:
             nablas = extras["implicit_nablas"]
-            nablas_norm = jnp.linalg.norm(nablas, axis=-1)
+            # safe norm: jnp.linalg.norm has a NaN gradient at exactly-zero
+            # vectors (f32 underflow can produce them); torch's subgradient
+            # is 0 there (reference models/trainer.py:190 relies on that)
+            nablas_norm = jnp.sqrt(jnp.sum(nablas * nablas, axis=-1) + 1e-12)
 
         mask_volume = jnp.clip(extras["mask_volume"], 1e-3, 1 - 1e-3)
         out_extras["mask_volume_clipped"] = mask_volume
