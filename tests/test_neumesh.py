@@ -188,3 +188,49 @@ def test_grid_and_brute_mesh_grid_agree():
     db, _, _ = mg_b.compute_distance(x)
     dg, _, _ = mg_g.compute_distance(x)
     np.testing.assert_allclose(np.asarray(db), np.asarray(dg), atol=1e-4)
+
+
+def test_eikonal_grad_finite_with_zero_nablas():
+    """Regression (round-1 NaN): jnp.linalg.norm has NaN gradient at
+    exactly-zero vectors; the eikonal term must stay finite when a sample
+    produces an all-zero nabla (f32 underflow in long runs)."""
+    from neumesh_tpu.train.trainer import Trainer
+
+    model, params = None, None  # not needed: test the loss formula directly
+
+    def eik_loss(nablas):
+        norm = jnp.sqrt(jnp.sum(nablas * nablas, axis=-1) + 1e-12)
+        return jnp.mean((norm - 1.0) ** 2)
+
+    nablas = jnp.zeros((4, 3)).at[0].set(jnp.array([1.0, 0.0, 0.0]))
+    g = jax.grad(eik_loss)(nablas)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # the raw-norm formulation would produce NaN — prove the guard matters
+    def bad_loss(nablas):
+        return jnp.mean((jnp.linalg.norm(nablas, axis=-1) - 1.0) ** 2)
+
+    g_bad = jax.grad(bad_loss)(nablas)
+    assert not np.isfinite(np.asarray(g_bad)).all()
+
+
+def test_interpolated_distance_grad_on_vertex():
+    """Gradient must stay finite when a query coincides exactly with a
+    vertex (w2 = 0)."""
+    from neumesh_tpu.ops.interp import (
+        interpolated_distance_from_parts,
+        knn_weights,
+    )
+
+    nbr_pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 3)),
+                          jnp.float32)
+    nbr_ind = jnp.ones((1, 8, 3)) / np.sqrt(3)
+    w = jnp.full((1, 8), 0.125)
+
+    def f(x):
+        return interpolated_distance_from_parts(
+            x, nbr_pts, nbr_ind, w, 0.1)[0, 0]
+
+    x0 = nbr_pts[0, 0]  # exactly on a vertex
+    g = jax.grad(f)(x0[None])
+    assert np.isfinite(np.asarray(g)).all()
