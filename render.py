@@ -51,7 +51,13 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
 
     c2ws = np.stack(dataset.c2w_all, 0)
 
-    if args.camera_path == "spiral":
+    # --camera_inds overrides the camera path (its help promises "instead
+    # of the spiral path"), so check it before the default spiral branch
+    if args.get("camera_inds", None):
+        inds = [int(x) for x in str(args.camera_inds)
+                .replace("~", ",").split(",") if x != ""]
+        render_c2ws = [c2ws[i] for i in inds]
+    elif args.camera_path == "spiral":
         if args.get("test_frame", None) is not None:
             test_pose = c2ws[args.test_frame]
             up = test_pose[:3, 1]
@@ -72,7 +78,7 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
         render_c2ws = c2w_track_spiral(
             test_pose, normalize(up), rads, focus_distance * 0.8,
             zrate=0.0, rots=1, N=args.num_views)
-    elif args.camera_path == "dataset" or args.get("camera_inds", None):
+    elif args.camera_path == "dataset":
         inds = [int(x) for x in str(args.camera_inds or
                                     "0").replace("~", ",").split(",")
                 if x != ""]
