@@ -310,8 +310,10 @@ class NeuMesh:
             t_c = jnp.clip(t_c, near, far)
             seg_pt = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
             d2_seg = jnp.sum((vp - seg_pt) ** 2, axis=-1)
-            _, keep = jax.lax.top_k(-d2_seg, max_candidates)
-            ids = jnp.take_along_axis(ids, keep, axis=-1)
+            # sort ids WITH the distance keys (multi-operand sort) and
+            # slice — top_k + take_along_axis gathers are ~5 GB/s on TPU
+            _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
+            ids = ids[:, :max_candidates]
 
         verts_ext = jnp.concatenate(
             [self.mesh_grid.vertices,
@@ -509,21 +511,21 @@ class RayBoundNeuMesh:
         return self.model.forward_s(params)
 
     # ---- fused Pallas path (forward-only; ops/pallas_kernels.py) --------
-    def _fused_parts(self, params, xyz):
+    def _fused_density_nabla(self, params, xyz, need_nabla: bool,
+                             need_ft: bool = False):
         from ...ops.pallas_kernels import candidate_field
         m = self.model
         w1 = m.forward_indicator_weight(params)
         # interpret mode off-TPU (CPU tests / debugging)
         interpret = jax.default_backend() != "tpu"
-        return candidate_field(
+        feat = self.ctx["feat"] if need_ft \
+            else self.ctx["feat"][..., :m.geometry_dim]
+        ds, dh, feats = candidate_field(
             xyz, self.ctx["pts"], self.ctx["pp"], self.ctx["ind"],
-            self.ctx["vn"], self.ctx["feat"][..., :m.geometry_dim],
-            self.ctx["feat"][..., m.geometry_dim:], w1,
-            interpret=interpret)
-
-    def _fused_density_nabla(self, params, xyz, need_nabla: bool):
-        m = self.model
-        ds, dh, fg, ft = self._fused_parts(params, xyz)
+            self.ctx["vn"], feat, w1, interpret=interpret,
+            want_dh=need_nabla)
+        fg = feats[..., :m.geometry_dim]
+        ft = feats[..., m.geometry_dim:] if need_ft else None
 
         if not need_nabla:
             density, d_emb = m._density_from_interp(params, ds, fg)
@@ -568,7 +570,7 @@ class RayBoundNeuMesh:
         v = self._flat(view_dirs)
         if m.use_pallas:
             density, nabla, d_emb, ft = self._fused_density_nabla(
-                params, x, m.enable_nablas_input)
+                params, x, m.enable_nablas_input, need_ft=True)
             color = m._color_from_interp(params, d_emb, v, ft, nabla)
             return self._unflat(density[..., 0]), self._unflat(color)
         if m.enable_nablas_input:

@@ -1,27 +1,37 @@
 """Pallas TPU kernels for the NeuMesh hot path.
 
-``candidate_field``: the fused per-ray candidate loop — for every sample of
-every ray, against the ray's candidate set (see NeuMesh.make_ray_context):
+``candidate_field``: the fused per-ray candidate computation — for every
+sample of every ray, against the ray's candidate set (built by
+NeuMesh.make_ray_context):
 
-    d2        = |x|^2 + |v_c|^2 - 2 x.v_c                   (MXU)
-    thr       = 8th-smallest d2                             (VPU loop)
+    d2        = |x|^2 + |v_c|^2 - 2 x.v_c            (VPU broadcast FMA)
+    thr       = 8th-smallest d2                      (8 masked-min passes)
     W_c       = [d2 <= thr] / (sqrt(d2) + 1e-7), normalised
     h         = sum_c W_c (w1 (x.n_c - v_c.n_c) + d^3)/(w1 + d)
-    grad_x h  = A @ n + (sum_c B_c) x - B @ v               (closed form)
-    fg, ft    = W @ geo, W @ col                            (MXU)
+    grad_x h  = A @ n + (sum_c B_c) x - B @ v        (closed form)
+    feats     = W @ feat_ctx                         (MXU, per-ray)
 
-Everything for one ray block lives in VMEM — the XLA path round-trips
-several (rays, samples, candidates) tensors through HBM per stage; this
-kernel eliminates those.
+Everything for one ray block lives in VMEM. The XLA path round-trips the
+(rays, samples, candidates) working set through HBM once per stage (the
+8 masked-min passes alone move ~8x the d2 tensor); here the entire chain
+runs out of VMEM and only the (rays, samples, ·) results are written back.
 
-Semantics match ops/interp.py + NeuMesh._ctx_distance_parts with one noted
-deviation: exact distance TIES at the top-8 boundary may select fewer
-candidates (the threshold loop masks equal minima together); measure-zero
-on real meshes.
+Selection semantics match NeuMesh._ctx_distance_parts exactly, including
+its index-proportional tie-break (lowest index wins, the same stable
+order as lax.top_k / the brute kNN).
+
+v2 design notes (vs the retired per-ray-loop v1, which lost to XLA):
+  - all VPU math is vectorised over the whole (rays_per_block, S, C)
+    block — no unrolled per-ray Python loop;
+  - rays_per_block adapts to S so each program keeps ~1k samples of
+    work (small-S upsampling passes stay efficient);
+  - the closed-form grad contractions over C are lane reductions, not
+    N=3 matmuls (which would pad the MXU 128-wide for 3 columns);
+  - density-only callers compile a variant without dh/ft (want_dh /
+    feat_cols static args) so up-sampling passes skip unused outputs.
 
 Forward-only: training keeps the XLA path (fully differentiable); the
-kernel accelerates rendering/serving. Gated by NeuMesh(use_pallas=True) or
-RayBoundNeuMesh.use_pallas.
+kernel accelerates rendering/serving. Gated by NeuMesh(use_pallas=True).
 """
 from __future__ import annotations
 
@@ -33,107 +43,135 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xyz_ref, pts_ref, pp_ref, ind_ref, vn_ref, geo_ref, col_ref,
-            w1_ref, ds_ref, dh_ref, fg_ref, ft_ref, *, k: int, rb: int):
+def _kernel(xyz_ref, pts_ref, pp_ref, ind_ref, vn_ref, feat_ref, w1_ref,
+            *out_refs, k: int, rb: int, want_dh: bool, n_feat: int):
     w1 = w1_ref[0, 0]
-    for r in range(rb):                 # rays per program, unrolled
-        x = xyz_ref[r]                  # (S, 3)
-        pts = pts_ref[r]                # (C, 3)
-        pp = pp_ref[r]                  # (1, C)
-        ind = ind_ref[r]                # (C, 3)
-        vn = vn_ref[r]                  # (1, C)
+    x = xyz_ref[...]                    # (rb, S, 3)
+    pts = pts_ref[...]                  # (rb, C, 3)
+    pp = pp_ref[...]                    # (rb, 1, C)
+    ind = ind_ref[...]                  # (rb, C, 3)
+    vn = vn_ref[...]                    # (rb, 1, C)
+    C = pts.shape[1]
 
-        xv = jnp.dot(x, pts.T, preferred_element_type=jnp.float32)
-        xx = jnp.sum(x * x, axis=-1, keepdims=True)
-        d2 = jnp.maximum(xx + pp - 2.0 * xv, 0.0)                # (S, C)
+    def bcast(a_rc3, d):                # (rb, C, 3)[..., d] -> (rb, 1, C)
+        return a_rc3[:, :, d].reshape(a_rc3.shape[0], 1, C)
 
-        # threshold = k-th smallest per row (equal minima mask together;
-        # boundary ties are measure-zero on real meshes)
-        cur = d2
-        thr = jnp.zeros_like(xx)
-        for _ in range(k):
-            m = jnp.min(cur, axis=-1, keepdims=True)
-            thr = m
-            cur = jnp.where(cur <= m, jnp.inf, cur)
+    xv = (x[..., 0:1] * bcast(pts, 0) + x[..., 1:2] * bcast(pts, 1)
+          + x[..., 2:3] * bcast(pts, 2))                 # (rb, S, C)
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)          # (rb, S, 1)
+    d2 = jnp.maximum(xx + pp - 2.0 * xv, 0.0)
 
-        mask = d2 <= thr
-        d = jnp.sqrt(jnp.maximum(d2, 1e-20))
-        w_raw = jnp.where(mask, 1.0 / (d + 1e-7), 0.0)
-        W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)       # (S, C)
+    # k-th smallest with deterministic lowest-index tie-break (matches
+    # the XLA path in NeuMesh._ctx_distance_parts)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2).astype(
+        jnp.float32)
+    d2_tb = d2 * (1.0 + iota * 2e-7)
+    cur = d2_tb
+    for _ in range(k):
+        thr = jnp.min(cur, axis=-1, keepdims=True)
+        cur = jnp.where(cur <= thr, jnp.inf, cur)
+    mask = d2_tb <= thr
 
-        xn = jnp.dot(x, ind.T, preferred_element_type=jnp.float32)
-        term = w1 * (xn - vn) + d * d2                           # d^3
-        inv = 1.0 / (w1 + d)
-        ds_ref[r] = jnp.sum(W * term * inv, axis=-1, keepdims=True)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)   # (rb, S, C)
 
-        # closed-form grad: dh = A @ n + (sum B) x - B @ v
+    xn = (x[..., 0:1] * bcast(ind, 0) + x[..., 1:2] * bcast(ind, 1)
+          + x[..., 2:3] * bcast(ind, 2))                 # (rb, S, C)
+    inv = 1.0 / (w1 + d)
+    term = w1 * (xn - vn) + d * d2                       # d^3
+    ds_ref = out_refs[0]
+    ds_ref[...] = jnp.sum(W * term * inv, axis=-1, keepdims=True)
+
+    oi = 1
+    if want_dh:
+        # closed form: dh = A @ n + (sum_c B_c) x - B @ v, with
+        # A = W w1 / (w1 + d); B = W (3 d^2 (w1+d) - term) / ((w1+d)^2 d)
         A = W * w1 * inv
         B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
-        dh = (jnp.dot(A, ind, preferred_element_type=jnp.float32)
-              + jnp.sum(B, axis=-1, keepdims=True) * x
-              - jnp.dot(B, pts, preferred_element_type=jnp.float32))
-        dh_ref[r] = dh
+        sB = jnp.sum(B, axis=-1, keepdims=True)          # (rb, S, 1)
+        cols = []
+        for dax in range(3):
+            cols.append(jnp.sum(A * bcast(ind, dax), axis=-1, keepdims=True)
+                        + sB * x[..., dax:dax + 1]
+                        - jnp.sum(B * bcast(pts, dax), axis=-1,
+                                  keepdims=True))
+        out_refs[oi][...] = jnp.concatenate(cols, axis=-1)
+        oi += 1
 
-        fg_ref[r] = jnp.dot(W, geo_ref[r],
+    if n_feat:
+        feat = feat_ref[...]                             # (rb, C, F)
+        fo = out_refs[oi]
+        for r in range(rb):                              # MXU per ray
+            fo[r] = jnp.dot(W[r], feat[r],
                             preferred_element_type=jnp.float32)
-        ft_ref[r] = jnp.dot(W, col_ref[r],
-                            preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "rays_per_block"))
-def candidate_field(xyz, pts, pp, ind, vn, geo, col, w1, k: int = 8,
-                    interpret: bool = False, rays_per_block: int = 8):
+@functools.partial(jax.jit, static_argnames=(
+    "k", "interpret", "rays_per_block", "want_dh", "want_feat"))
+def candidate_field(xyz, pts, pp, ind, vn, feat, w1, k: int = 8,
+                    interpret: bool = False, rays_per_block: int = 0,
+                    want_dh: bool = True, want_feat: bool = True):
     """xyz: (R, S, 3); pts/ind: (R, C, 3); pp/vn: (R, C);
-    geo: (R, C, Fg); col: (R, C, Fc); w1 scalar ->
-    (ds (R, S, 1), dh (R, S, 3), fg (R, S, Fg), ft (R, S, Fc)).
-    R is padded internally to a multiple of rays_per_block."""
+    feat: (R, C, F) (geometry columns first — see NeuMesh ctx["feat"]);
+    w1 scalar. Returns (ds (R, S, 1), dh (R, S, 3) | None,
+    feats (R, S, F) | None). R is padded to a rays_per_block multiple;
+    rays_per_block=0 picks ~1024 samples of work per program."""
     R0, S, _ = xyz.shape
     C = pts.shape[1]
-    Fg = geo.shape[-1]
-    Fc = col.shape[-1]
-    rb = min(rays_per_block, R0)
+    F = feat.shape[-1] if want_feat else 0
+    # ~512 samples of work per program: the unrolled min-loop keeps
+    # several (rb, S, C) temporaries live on the VMEM stack (16MB limit)
+    rb = rays_per_block or max(8, min(32, 512 // max(S, 1)))
+    rb = min(rb, R0)
     pad = (-R0) % rb
     if pad:
         def padr(a):
             return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                            mode="edge")
-        xyz, pts, pp, ind, vn, geo, col = map(
-            padr, (xyz, pts, pp, ind, vn, geo, col))
+        xyz, pts, pp, ind, vn, feat = map(
+            padr, (xyz, pts, pp, ind, vn, feat))
     R = R0 + pad
     w1_arr = jnp.full((1, 1), w1, jnp.float32)
-
-    grid = (R // rb,)
 
     def row(i):
         return (i, 0, 0)
 
+    out_specs = [pl.BlockSpec((rb, S, 1), row, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((R, S, 1), jnp.float32)]
+    if want_dh:
+        out_specs.append(pl.BlockSpec((rb, S, 3), row,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R, S, 3), jnp.float32))
+    if want_feat:
+        out_specs.append(pl.BlockSpec((rb, S, F), row,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R, S, F), jnp.float32))
+
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, rb=rb),
-        grid=grid,
+        functools.partial(_kernel, k=k, rb=rb, want_dh=want_dh,
+                          n_feat=F),
+        grid=(R // rb,),
         in_specs=[
             pl.BlockSpec((rb, S, 3), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, C, 3), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 1, C), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, C, 3), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 1, C), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C, Fg), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C, Fc), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, C, max(F, 1)), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((rb, S, 1), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, S, 3), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, S, Fg), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, S, Fc), row, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, S, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, S, 3), jnp.float32),
-            jax.ShapeDtypeStruct((R, S, Fg), jnp.float32),
-            jax.ShapeDtypeStruct((R, S, Fc), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(xyz, pts, pp.reshape(R, 1, C), ind, vn.reshape(R, 1, C), geo, col,
-      w1_arr)
-    return tuple(o[:R0] for o in out)
+    )(xyz, pts, pp.reshape(R, 1, C), ind, vn.reshape(R, 1, C),
+      feat if want_feat else jnp.zeros((R, C, 1), jnp.float32), w1_arr)
+
+    ds = out[0][:R0]
+    oi = 1
+    dh = None
+    if want_dh:
+        dh = out[oi][:R0]
+        oi += 1
+    feats = out[oi][:R0] if want_feat else None
+    return ds, dh, feats

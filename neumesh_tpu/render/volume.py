@@ -171,9 +171,10 @@ def volume_render_rays(
                         + d_fine[..., None] * rays_d[..., None, :])
             sdf_fine = model.forward_density_only(params, pts_fine)
             _sdf = jnp.concatenate([_sdf, sdf_fine], axis=-1)
-            sort_idx = jnp.argsort(_d, axis=-1)
-            _d = jnp.take_along_axis(_d, sort_idx, axis=-1)
-            _sdf = jnp.take_along_axis(_sdf, sort_idx, axis=-1)
+            # multi-operand sort permutes the payload inside the sort —
+            # argsort + take_along_axis gathers run at ~5 GB/s on TPU and
+            # dominated the whole render before this
+            _d, _sdf = jax.lax.sort((_d, _sdf), dimension=-1, num_keys=1)
         return _d
 
     d_all = jax.lax.stop_gradient(upsample(jax.lax.stop_gradient(d_coarse)))

@@ -16,16 +16,14 @@ def make_inputs(R=4, S=16, C=32, Fg=8, Fc=8, seed=0):
     xyz = (pts[:, :S, :] + rng.normal(size=(R, S, 3)) * 0.02).astype(
         np.float32)
     ind = rng.normal(size=(R, C, 3)).astype(np.float32)
-    geo = rng.normal(size=(R, C, Fg)).astype(np.float32)
-    col = rng.normal(size=(R, C, Fc)).astype(np.float32)
+    feat = rng.normal(size=(R, C, Fg + Fc)).astype(np.float32)
     pp = np.sum(pts * pts, -1).astype(np.float32)
     vn = np.sum(pts * ind, -1).astype(np.float32)
     return (jnp.asarray(xyz), jnp.asarray(pts), jnp.asarray(pp),
-            jnp.asarray(ind), jnp.asarray(vn), jnp.asarray(geo),
-            jnp.asarray(col))
+            jnp.asarray(ind), jnp.asarray(vn), jnp.asarray(feat))
 
 
-def xla_reference(xyz, pts, pp, ind, vn, geo, col, w1, k=8):
+def xla_reference(xyz, pts, pp, ind, vn, feat, w1, k=8):
     xv = jnp.einsum("rsd,rcd->rsc", xyz, pts)
     xx = jnp.sum(xyz * xyz, -1)
     d2 = jnp.maximum(xx[..., None] + pp[:, None, :] - 2 * xv, 0.0)
@@ -51,15 +49,14 @@ def xla_reference(xyz, pts, pp, ind, vn, geo, col, w1, k=8):
 
     _, vjp = jax.vjp(h_of_x, xyz)
     (dh,) = vjp(jnp.ones(xyz.shape[:-1]))
-    fg = jnp.einsum("rsc,rcf->rsf", W, geo)
-    ft = jnp.einsum("rsc,rcf->rsf", W, col)
-    return ds, dh, fg, ft
+    feats = jnp.einsum("rsc,rcf->rsf", W, feat)
+    return ds, dh, feats
 
 
 def _no_tie_rows(inputs, k=8, eps=1e-6):
     """Rows whose k-th/k+1-th neighbour distances are well separated (the
     kernel's threshold loop legitimately differs from top_k on exact ties)."""
-    xyz, pts, pp, ind, vn, geo, col = inputs
+    xyz, pts, pp, ind, vn, feat = inputs
     xv = jnp.einsum("rsd,rcd->rsc", xyz, pts)
     xx = jnp.sum(xyz * xyz, -1)
     d2 = np.asarray(jnp.maximum(
@@ -74,33 +71,62 @@ def test_candidate_field_matches_xla():
     w1 = 0.12
     ok = _no_tie_rows(inputs)
     assert ok.mean() > 0.9
-    ds_p, dh_p, fg_p, ft_p = candidate_field(*inputs, w1, interpret=True)
-    ds_x, dh_x, fg_x, ft_x = xla_reference(*inputs, w1)
+    ds_p, dh_p, feats_p = candidate_field(*inputs, w1, interpret=True)
+    ds_x, dh_x, feats_x = xla_reference(*inputs, w1)
 
     def cmp(a, b, **kw):
         np.testing.assert_allclose(np.asarray(a)[ok], np.asarray(b)[ok],
                                    **kw)
 
     cmp(ds_p, ds_x, atol=1e-5, rtol=1e-4)
-    cmp(fg_p, fg_x, atol=5e-5, rtol=1e-4)
-    cmp(ft_p, ft_x, atol=5e-5, rtol=1e-4)
+    cmp(feats_p, feats_x, atol=5e-5, rtol=1e-4)
     cmp(dh_p, dh_x, atol=1e-4, rtol=1e-3)
+
+
+def test_candidate_field_variants():
+    """want_dh/want_feat static variants must return the same ds and omit
+    the unrequested outputs."""
+    inputs = make_inputs(seed=3)
+    w1 = 0.2
+    ds_full, dh, feats = candidate_field(*inputs, w1, interpret=True)
+    ds_d, dh_none, fg = candidate_field(
+        *inputs[:5], inputs[5][..., :8], w1, interpret=True, want_dh=False)
+    assert dh_none is None
+    np.testing.assert_allclose(np.asarray(ds_d), np.asarray(ds_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fg), np.asarray(feats)[..., :8],
+                               atol=1e-6)
+    ds_n, dh_n, f_none = candidate_field(
+        *inputs, w1, interpret=True, want_feat=False)
+    assert f_none is None
+    np.testing.assert_allclose(np.asarray(dh_n), np.asarray(dh), atol=1e-6)
+
+
+def test_candidate_field_ragged_rays():
+    """R not divisible by the block size exercises the edge padding."""
+    inputs = make_inputs(R=5, S=12, seed=2)
+    w1 = 0.15
+    ds_p, dh_p, feats_p = candidate_field(*inputs, w1, interpret=True,
+                                          rays_per_block=4)
+    ds_x, dh_x, feats_x = xla_reference(*inputs, w1)
+    ok = _no_tie_rows(inputs)
+    np.testing.assert_allclose(np.asarray(ds_p)[ok], np.asarray(ds_x)[ok],
+                               atol=1e-5, rtol=1e-4)
 
 
 def test_candidate_field_with_sentinels():
     """Padded/sentinel candidates (huge coordinates) must never be selected
     and must not produce NaN/inf in any output."""
-    xyz, pts, pp, ind, vn, geo, col = make_inputs(seed=1)
+    xyz, pts, pp, ind, vn, feat = make_inputs(seed=1)
     pts = pts.at[:, -8:, :].set(1e9)
     pp = jnp.sum(pts * pts, -1)
     ind = ind.at[:, -8:, :].set(0.0)
     vn = jnp.sum(pts * ind, -1)
-    ds, dh, fg, ft = candidate_field(xyz, pts, pp, ind, vn, geo, col, 0.12,
-                                     interpret=True)
-    for arr in (ds, dh, fg, ft):
+    ds, dh, feats = candidate_field(xyz, pts, pp, ind, vn, feat, 0.12,
+                                    interpret=True)
+    for arr in (ds, dh, feats):
         assert np.isfinite(np.asarray(arr)).all()
     # compare against XLA reference with the same sentinels
-    ds_x, dh_x, fg_x, ft_x = xla_reference(xyz, pts, pp, ind, vn, geo, col,
-                                           0.12)
+    ds_x, dh_x, feats_x = xla_reference(xyz, pts, pp, ind, vn, feat, 0.12)
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_x), atol=1e-5,
                                rtol=1e-4)
