@@ -34,14 +34,17 @@ def main():
     from neumesh_tpu.models.neumesh.model import NeuMesh
     from neumesh_tpu.render.volume import volume_render_rays
 
-    # flagship-config NeuMesh on a realistic-density scaffold
+    # flagship-config NeuMesh on a realistic-density scaffold, in the
+    # bf16 serving mode (MLP/feature chain bf16, geometry/kNN f32 —
+    # measured at parity: -0.04 dB eval PSNR vs f32, see README)
     mesh = icosphere_mesh(radius=0.5, subdivisions=5)  # 10k verts, uniform
     mesh_grid = MeshGrid(mesh, distance_method="grid")
     model = NeuMesh(
         mesh_grid, D_density=3, D_color=4, W=256, geometry_dim=32,
         color_dim=32, multires_view=4, multires_d=8, multires_fg=2,
         multires_ft=2, enable_nablas_input=True,
-        learn_indicator_weight=True, speed_factor=10.0)
+        learn_indicator_weight=True, speed_factor=10.0,
+        compute_dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
 
     n_rays = 4096
@@ -63,10 +66,15 @@ def main():
     # warmup / compile
     render(params, rays_o, rays_d).block_until_ready()
 
+    # block once after the loop: per-iteration blocking would add a host
+    # sync round-trip per render (tens of ms on tunneled TPU setups) that
+    # is not part of device throughput
     iters = 10
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        render(params, rays_o, rays_d).block_until_ready()
+        out = render(params, rays_o, rays_d)
+    out.block_until_ready()
     dt = time.perf_counter() - t0
 
     mrays = n_rays * iters / dt / 1e6

@@ -58,6 +58,14 @@ def get_model(args, key=None):
         "learn_indicator_weight": model_args.get(
             "learn_indicator_weight", False),
     }
+    cdt = model_args.get("compute_dtype", None)
+    if cdt in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+        model_config["compute_dtype"] = jnp.bfloat16
+    elif cdt not in (None, "None", "float32", "f32"):
+        raise ValueError(
+            f"model.compute_dtype must be bfloat16/bf16 or float32/f32, "
+            f"got {cdt!r}")
 
     render_kwargs_train = {
         "N_nograd_samples": args.model.setdefault("N_nograd_samples", 2048),

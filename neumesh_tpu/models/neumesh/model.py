@@ -30,6 +30,7 @@ from ...nn import (
     get_embedder,
     linear_init,
     maybe_wnorm_apply,
+    maybe_wnorm_apply_parts,
     softplus100,
     wnorm_linear_init,
 )
@@ -150,8 +151,9 @@ class NeuMesh:
         fg = interp.interpolate_features(
             params["geometry_features"], indices, weights)
         fg_emb = self.embed_fn_fg(fg)
-        h = jnp.concatenate([d_emb, fg_emb], axis=-1)
-        for p in params["pts_linears"]:
+        h = softplus100(maybe_wnorm_apply_parts(
+            params["pts_linears"][0], [d_emb, fg_emb]))
+        for p in params["pts_linears"][1:]:
             h = softplus100(maybe_wnorm_apply(p, h))
         density = maybe_wnorm_apply(params["density_linear"], h)
         return density, d_emb
@@ -168,8 +170,9 @@ class NeuMesh:
         ft = interp.interpolate_features(
             params["color_features"], indices, weights)
         parts.append(self.embed_fn_ft(ft))
-        h = jnp.concatenate(parts, axis=-1)
-        for p in params["views_linears"]:
+        h = jnp.maximum(maybe_wnorm_apply_parts(
+            params["views_linears"][0], parts), 0.0)
+        for p in params["views_linears"][1:]:
             h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
         return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
 
@@ -383,11 +386,16 @@ class NeuMesh:
         """Geometry MLP on (embedded ds, embedded pre-interpolated fg)."""
         dt = self.compute_dtype
         d_emb = self.embed_fn_d(ds)
-        fg_emb = self.embed_fn_fg(fg)
-        h = jnp.concatenate([d_emb, fg_emb], axis=-1)
-        for p in params["pts_linears"]:
+        # wide feature embedding computed in the low dtype (halves the
+        # sin/cos + activation HBM traffic); d_emb stays f32 (geometry)
+        fg_emb = self.embed_fn_fg(fg if dt is None else fg.astype(dt))
+        h = softplus100(maybe_wnorm_apply_parts(
+            params["pts_linears"][0], [d_emb, fg_emb], dt))
+        for p in params["pts_linears"][1:]:
             h = softplus100(maybe_wnorm_apply(p, h, dt))
         density = maybe_wnorm_apply(params["density_linear"], h, dt)
+        if dt is not None:
+            density = density.astype(jnp.float32)
         return density, d_emb
 
     def _ctx_interp_feats(self, ctx, W, lo=None, hi=None):
@@ -441,12 +449,15 @@ class NeuMesh:
             parts.append(nabla)
         parts.append(d_emb)
         parts.append(view_emb)
-        parts.append(self.embed_fn_ft(ft))
-        h = jnp.concatenate(parts, axis=-1)
-        for p in params["views_linears"]:
+        parts.append(self.embed_fn_ft(ft if dt is None else ft.astype(dt)))
+        h = jnp.maximum(maybe_wnorm_apply_parts(
+            params["views_linears"][0], parts, dt), 0.0)
+        for p in params["views_linears"][1:]:
             h = jnp.maximum(maybe_wnorm_apply(p, h, dt), 0.0)
-        return jax.nn.sigmoid(
-            maybe_wnorm_apply(params["color_linear"], h, dt))
+        logits = maybe_wnorm_apply(params["color_linear"], h, dt)
+        if dt is not None:
+            logits = logits.astype(jnp.float32)
+        return jax.nn.sigmoid(logits)
 
     def _ctx_color(self, params, ctx, d_emb, view_dirs, W, nabla):
         ft = self._ctx_interp_feats(ctx, W, lo=self.geometry_dim)
@@ -479,8 +490,9 @@ class NeuMesh:
         parts.append(view_emb)
         ft = interp.interpolate_features(color_features, indices, weights)
         parts.append(self.embed_fn_ft(ft))
-        h = jnp.concatenate(parts, axis=-1)
-        for p in params["views_linears"]:
+        h = jnp.maximum(maybe_wnorm_apply_parts(
+            params["views_linears"][0], parts), 0.0)
+        for p in params["views_linears"][1:]:
             h = jnp.maximum(maybe_wnorm_apply(p, h), 0.0)
         return jax.nn.sigmoid(maybe_wnorm_apply(params["color_linear"], h))
 

@@ -70,15 +70,38 @@ def maybe_wnorm_init(key, in_dim, out_dim, weight_norm: bool) -> Params:
 
 
 def maybe_wnorm_apply(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """Apply a (weight-norm) linear. With `dtype` (e.g. bfloat16), the
-    matmul inputs are cast down while accumulating in f32 on the MXU;
-    bias add stays f32."""
+    """Apply a (weight-norm) linear. With `dtype` (e.g. bfloat16) the
+    whole layer RUNS AND RETURNS in that dtype (MXU still accumulates
+    f32 internally): keeping activations low-precision between layers
+    halves the HBM traffic the TPU MLPs are bound by. Heads that need
+    f32 outputs cast at the end."""
     w = wnorm_weight(p) if "g" in p else p["w"]
     if dtype is not None:
-        x = x.astype(dtype)
-        w = w.astype(dtype)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32) + p["b"]
+        return (jnp.dot(x.astype(dtype), w.astype(dtype),
+                        preferred_element_type=dtype)
+                + p["b"].astype(dtype))
     return x @ w + p["b"]
+
+
+def maybe_wnorm_apply_parts(p: Params, parts: Sequence[jnp.ndarray],
+                            dtype=None) -> jnp.ndarray:
+    """linear(concat(parts, -1)) WITHOUT materializing the concatenation:
+    the weight rows are sliced per part and the partial products summed.
+    On TPU, XLA materializes big activation concats to HBM before the
+    matmul (measured ~10 ms/render in the NeuMesh MLPs); the split form
+    keeps each embedding fused into its own matmul operand read."""
+    w = wnorm_weight(p) if "g" in p else p["w"]
+    out = p["b"] if dtype is None else p["b"].astype(dtype)
+    lo = 0
+    for x in parts:
+        wi = w[lo:lo + x.shape[-1]]
+        lo += x.shape[-1]
+        if dtype is not None:
+            out = out + jnp.dot(x.astype(dtype), wi.astype(dtype),
+                                preferred_element_type=dtype)
+        else:
+            out = out + x @ wi
+    return out
 
 
 # ---------------------------------------------------------------------------
