@@ -57,6 +57,7 @@ def get_model(args, key=None):
             "enable_nablas_input", False),
         "learn_indicator_weight": model_args.get(
             "learn_indicator_weight", False),
+        "max_candidates": model_args.get("max_candidates", 96),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

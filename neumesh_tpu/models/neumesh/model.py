@@ -58,6 +58,7 @@ class NeuMesh:
         learn_indicator_weight: bool = True,
         compute_dtype=None,
         use_pallas: bool = False,
+        max_candidates: int = 96,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -77,6 +78,10 @@ class NeuMesh:
         # path (rendering/serving; training keeps the differentiable XLA
         # path) — see ops/pallas_kernels.py
         self.use_pallas = use_pallas
+        # per-ray candidate cache size (ray-context compaction): smaller is
+        # faster (every per-sample tensor scales with it) but weakens kNN
+        # coverage for rays grazing dense regions
+        self.max_candidates = max_candidates
 
         self.embed_fn_d, self.input_ch_d = get_embedder(
             multires_d, input_dim=input_d_dim)
@@ -255,7 +260,7 @@ class NeuMesh:
 
     def make_ray_context(self, params, rays_o, rays_d, near, far,
                          n_probes: int = 8, kp_per_probe=None,
-                         with_features: bool = True, max_candidates=96,
+                         with_features: bool = True, max_candidates=None,
                          for_bounds: bool = False):
         """Build the per-ray candidate cache. rays_o/d: (R, 3);
         near/far: (R, 1). Returns a dict of (R, C, ...) arrays or None when
@@ -295,6 +300,8 @@ class NeuMesh:
                  jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
             return {"pts": verts_ext[ids]}
 
+        if max_candidates is None:
+            max_candidates = self.max_candidates
         ids = jnp.sort(ids, axis=-1)
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
