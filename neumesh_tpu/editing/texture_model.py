@@ -104,6 +104,113 @@ class TextureEditableNeuMesh:
 
         return sdf, blend_color
 
+    # ---- ray-context fast path ----------------------------------------------
+    def make_ray_context(self, params, rays_o, rays_d, near, far, **kw):
+        """Bounds-only delegation for the renderer's near/far pre-pass."""
+        return self.main_model.make_ray_context(
+            params["main"], rays_o, rays_d, near, far, **kw)
+
+    def bind_rays(self, params, rays_o, rays_d, near, far,
+                  n_probes: int = 8, with_features: bool = True):
+        """Ray-bound view: geometry + base color from the main model's
+        candidate cache; edit masks and transferred color features are
+        gathered into the SAME per-ray cache, so the paint/unpaint blend
+        (reference texture_neumesh.py:96-115) runs as batched matmuls."""
+        bound = self.main_model.bind_rays(
+            params["main"], rays_o, rays_d, near, far, n_probes,
+            with_features=with_features)
+        if bound is None:
+            return None
+        return RayBoundTextureEditable(self, bound, params)
+
+
+class RayBoundTextureEditable:
+    def __init__(self, editable: TextureEditableNeuMesh, bound, params):
+        self.editable = editable
+        self.bound = bound                      # RayBoundNeuMesh (main)
+        self.mesh_grid = editable.mesh_grid
+        self.enable_nablas_input = editable.enable_nablas_input
+        main = editable.main_model
+        ids = bound.ctx["ids"]                  # (R, C)
+        n_verts = main.num_vertices
+        # per-ray caches of the editing inputs (sentinel row appended)
+        self._masks = []                        # (R, C) float
+        self._efeat = []                        # (R, C, Fc)
+        for i in range(len(editable.ref_models)):
+            mask_ext = jnp.concatenate(
+                [editable.main_editing_masks[i].astype(jnp.float32),
+                 jnp.zeros((1,), jnp.float32)], axis=0)
+            self._masks.append(mask_ext[ids])
+            ef = params["edit_color_features"][i]
+            ef_ext = jnp.concatenate(
+                [ef, jnp.zeros((1, ef.shape[-1]), ef.dtype)], axis=0)
+            self._efeat.append(ef_ext[ids])
+
+    # ---- protocol delegation (geometry unchanged by texture edits)
+    def forward_s(self, params):
+        return self.bound.forward_s(params["main"])
+
+    def compute_distance(self, params, xyz, K: int = 8):
+        return self.bound.compute_distance(params["main"], xyz, K)
+
+    def forward_density_only(self, params, xyz):
+        return self.bound.forward_density_only(params["main"], xyz)
+
+    def forward_with_nablas(self, params, xyz):
+        return self.bound.forward_with_nablas(params["main"], xyz)
+
+    def forward(self, params, xyz, view_dirs):
+        ed = self.editable
+        main = ed.main_model
+        mp = params["main"]
+        b = self.bound
+        x = b._flat(xyz)
+        v = b._flat(view_dirs)
+
+        if main.enable_nablas_input:
+            density, nabla, d_emb, W, ft = main._ctx_density_and_nabla(
+                mp, b.ctx, x, with_ft=True)
+        else:
+            ds, W = main._ctx_distance_parts(mp, b.ctx, x)
+            feats = main._ctx_interp_feats(b.ctx, W)
+            density, d_emb = main._density_from_interp(
+                mp, ds, feats[..., :main.geometry_dim])
+            ft = feats[..., main.geometry_dim:]
+            nabla = None
+        sdf = density[..., 0]
+        blend_color = main._color_from_interp(mp, d_emb, v, ft, nabla)
+
+        for i, ref_model in enumerate(ed.ref_models):
+            m_at = self._masks[i]                       # (R, C)
+            Wm = W * m_at[:, None, :]                   # (R, S, C)
+            paint_w = jnp.sum(Wm, axis=-1)              # (R, S)
+            paint_region = paint_w > 0
+            # weights sum to 1, so unpaint share is the complement
+            W_ref = Wm / (jnp.sum(Wm, axis=-1, keepdims=True) + 1e-8)
+
+            if ed.rot_s_m is not None:
+                R = ed.rot_s_m[i]
+                ref_dir = v @ R.T
+                ref_nabla = nabla @ R.T if nabla is not None else None
+            else:
+                ref_dir = v
+                ref_nabla = nabla
+
+            dt = ref_model.compute_dtype
+            Wr = W_ref if dt is None else W_ref.astype(dt)
+            ef = self._efeat[i] if dt is None else self._efeat[i].astype(dt)
+            ft_ref = jnp.einsum("rsc,rcf->rsf", Wr, ef,
+                                preferred_element_type=jnp.float32)
+            ref_color = ref_model._color_from_interp(
+                params["refs"][i], d_emb, ref_dir, ft_ref, ref_nabla)
+
+            mixed = (blend_color * (1.0 - paint_w)[..., None]
+                     + ref_color * paint_w[..., None])
+            blend_color = jnp.where(paint_region[..., None], mixed,
+                                    blend_color)
+
+        return b._unflat(sdf), b._unflat(blend_color)
+
 
 def make_editable_params(main_params, ref_params_list, edit_color_features):
     return {

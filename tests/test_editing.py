@@ -267,3 +267,88 @@ def test_vis_mesh_exports(tmp_path):
         out_prefix=str(tmp_path / "transfer"))
     assert load_ply(p1).vertex_colors is not None
     assert load_ply(p2).vertex_colors is not None
+
+
+def test_texture_editable_ctx_matches_slow_path():
+    """The ray-bound editable view (per-ray cached masks/edit features,
+    batched-matmul blend) must reproduce the per-sample reference blend."""
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    main_model = NeuMesh(mg, **kw)
+    main_params = main_model.init(jax.random.PRNGKey(0))
+    ref_model = NeuMesh(mg, **kw)
+    ref_params = ref_model.init(jax.random.PRNGKey(1))
+    # edit the camera-facing (z<0) half-space on one side (x>0) only, so
+    # this ray bundle sees both edited and unedited surface
+    verts = np.asarray(mg.vertices)
+    mask = (verts[:, 2] < -0.2) & (verts[:, 0] > 0.0)
+
+    em = TextureEditableNeuMesh(main_model, [ref_model], mask[None],
+                                T_r_m_list=[np.eye(4)])
+    ep = make_editable_params(
+        main_params, [ref_params],
+        [np.asarray(ref_params["color_features"])])
+
+    n = 16
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.12, 0.12, n)
+    d = jnp.stack([ang, jnp.sin(jnp.linspace(-0.3, 0.3, n)) * 0.1,
+                   jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(o, d)
+    t = jnp.linspace(0.2, 0.3, 10)
+    z = near + (far - near) * t
+    pts = o[:, None, :] + z[..., None] * d[:, None, :]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    bound = em.bind_rays(ep, o, d, near, far)
+    assert bound is not None
+    sdf_f, rgb_f = bound.forward(ep, pts, dirs)
+    sdf_s, rgb_s = em.forward(ep, pts, dirs)
+    np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf_s),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_s),
+                               atol=3e-3)
+    # the blend must actually engage both regions on this ray bundle
+    _, rgb_main = main_model.bind_rays(
+        main_params, o, d, near, far).forward(main_params, pts, dirs)
+    diff = np.abs(np.asarray(rgb_f) - np.asarray(rgb_main)).max(-1)
+    assert diff.max() > 1e-3, "edit region never engaged"
+    assert diff.min() < 1e-5, "unedited region altered"
+
+
+def test_texture_editable_ctx_full_render():
+    """volume_render_rays drives the bound editable end-to-end (grid)."""
+    from neumesh_tpu.render.volume import volume_render_rays
+
+    mesh = sphere_mesh(radius=0.5, n_theta=16, n_phi=32)
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=False)
+    main_model = NeuMesh(mg, **kw)
+    main_params = main_model.init(jax.random.PRNGKey(0))
+    ref_model = NeuMesh(mg, **kw)
+    ref_params = ref_model.init(jax.random.PRNGKey(1))
+    mask = np.ones(main_model.num_vertices, bool)
+    em = TextureEditableNeuMesh(main_model, [ref_model], mask[None],
+                                T_r_m_list=[np.eye(4)])
+    ep = make_editable_params(
+        main_params, [ref_params],
+        [np.asarray(ref_params["color_features"])])
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (4, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    ret = volume_render_rays(em, ep, o, d, jax.random.PRNGKey(0),
+                             detailed_output=False, N_samples=16,
+                             N_importance=16, N_upsample_iters=2,
+                             bounded_near_far=True)
+    assert np.isfinite(np.asarray(ret["rgb"])).all()
