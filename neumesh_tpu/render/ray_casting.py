@@ -5,10 +5,12 @@ sphere tracing, composed into `surface_render`. Masked-scatter patterns of
 the reference (ray_casting.py:29-37,135-160) become jnp.where with static
 shapes; the secant loop is a fixed-iteration unrolled update (SURVEY §7).
 
-Note: like the reference, this path is part of the API surface but is not
-wired into the CLIs (reference has no caller in-tree, SURVEY §2.1). The
-surface_render path is also the FAST render mode: ~N_steps + 8 secant evals
-per ray instead of the volume renderer's several hundred.
+The reference keeps this path API-only (no caller in-tree, SURVEY §2.1);
+here it is additionally wired as the FAST render mode (`render.py
+--render_mode surface`): ~N_steps + 8 secant evals per ray instead of the
+volume renderer's several hundred, with the scan interval tightened to the
+mesh-covered segment and every query answered from the per-ray candidate
+cache when the model supports bind_rays.
 """
 from __future__ import annotations
 
@@ -148,12 +150,30 @@ def surface_render(
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     view_dirs = rays_d if use_view_dirs else None
 
-    if "near" not in ray_casting_cfgs:
-        near, far = near_far_from_sphere(rays_o, rays_d, keepdim=False)
-        ray_casting_cfgs.setdefault("near", near)
-        ray_casting_cfgs.setdefault("far", far)
+    near, far = near_far_from_sphere(rays_o, rays_d, keepdim=False)
+    # ray-context fast path: tighten [near, far] to the mesh-covered
+    # segment (closed form over raw candidates) and answer every surface
+    # query from the per-ray candidate cache
+    if hasattr(model, "bind_rays") and hasattr(model, "make_ray_context"):
+        from ..models.neumesh.model import candidate_bounded_near_far
+        pre_ctx = model.make_ray_context(
+            params, rays_o, rays_d, near[:, None], far[:, None],
+            n_probes=16, for_bounds=True)
+        if pre_ctx is not None:
+            near_b, far_b = candidate_bounded_near_far(
+                pre_ctx, rays_o, rays_d, near[:, None], far[:, None])
+            near, far = near_b[:, 0], far_b[:, 0]
+            bound = model.bind_rays(params, rays_o, rays_d,
+                                    near[:, None], far[:, None])
+            if bound is not None:
+                model = bound
+    ray_casting_cfgs.setdefault("near", near)
+    ray_casting_cfgs.setdefault("far", far)
 
     def query_fn(pts):
+        if pts.ndim == 2:  # (R, 3) secant/tracing queries -> (R, 1, 3)
+            return model.forward_density_only(
+                params, pts[:, None, :])[..., 0]
         return model.forward_density_only(params, pts)
 
     if ray_casting_algo == "root_finding":
@@ -167,9 +187,13 @@ def surface_render(
     else:
         raise NotImplementedError(ray_casting_algo)
 
-    sdf, color = model.forward(params, pt_pred, view_dirs)
+    sdf, color = model.forward(params, pt_pred[:, None, :],
+                               view_dirs[:, None, :]
+                               if view_dirs is not None else None)
+    color = color[:, 0]
     color = jnp.where(mask[..., None], color, 0.0)
-    _, nablas = model.forward_with_nablas(params, pt_pred)
+    _, nablas = model.forward_with_nablas(params, pt_pred[:, None, :])
+    nablas = nablas[:, 0]
 
     extras = {"implicit_nablas": nablas, "mask_surface": mask}
     if calc_normal:

@@ -181,7 +181,60 @@ def main_function(args):
         from neumesh_tpu.utils.checkpoints import restore_into
         params = restore_into(params, state)
 
+    if args.get("render_mode", "volume") == "surface":
+        render_fn = make_surface_render_fn(args, model)
+
     render_function(args, model, params, render_kwargs_test, render_fn)
+
+
+def make_surface_render_fn(args, model):
+    """Chunked, jitted surface-render callable with the volume renderer's
+    interface (params, rays_o, rays_d, key=..., **kw) -> (rgb, depth,
+    extras). The FAST mode: one secant-refined surface hit + one color
+    query per ray (ray_casting.surface_render)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from neumesh_tpu.render.ray_casting import surface_render
+
+    cfgs = {"N_steps": args.get("surface_steps", 128) or 128,
+            "fill_inf": False}
+
+    @functools.lru_cache(maxsize=4)
+    def _jitted(chunk):
+        def f(params, ro, rd):
+            return surface_render(model, params, ro, rd, calc_normal=True,
+                                  ray_casting_cfgs=dict(cfgs))
+        return jax.jit(f)
+
+    def render_fn(params, rays_o, rays_d, key=None, detailed_output=False,
+                  **kw):
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        n = ro.shape[0]
+        chunk = args.rayschunk or n
+        pad = (-n) % chunk
+        if pad:
+            ro = jnp.pad(ro, ((0, pad), (0, 0)), mode="edge")
+            rd = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge")
+        fn = _jitted(chunk)
+        outs = [fn(params, ro[i:i + chunk], rd[i:i + chunk])
+                for i in range(0, n + pad, chunk)]
+        rgb = jnp.concatenate([o[0] for o in outs])[:n]
+        depth = jnp.concatenate([o[1] for o in outs])[:n]
+        extras = {
+            # the image loop writes "normals_volume"; surface normals are
+            # the same quantity for this mode
+            "normals_volume": jnp.concatenate(
+                [o[2]["normals_surface"] for o in outs])[:n],
+            "mask_surface": jnp.concatenate(
+                [o[2]["mask_surface"] for o in outs])[:n],
+        }
+        return rgb, depth, extras
+
+    return render_fn
 
 
 def create_render_args(parser):
@@ -202,6 +255,15 @@ def create_render_args(parser):
     parser.add_argument("--spiral_rad", type=float, nargs="+", default=[])
     parser.add_argument("--dataset_split", default="entire", type=str)
     parser.add_argument("--disable_rgb", action="store_true")
+    parser.add_argument(
+        "--render_mode", type=str, default="volume",
+        choices=["volume", "surface"],
+        help="volume: full NeuS volume rendering (quality); surface: "
+             "root-finding surface hit + one color query per ray (fast)")
+    parser.add_argument(
+        "--surface_steps", type=int, default=128,
+        help="surface mode: sign-change scan steps over the mesh-bounded "
+             "interval")
     parser.add_argument(
         "--camera_inds", type=str, default=None,
         help="comma-separated dataset view indices to render instead of the "
