@@ -54,7 +54,8 @@ def main():
         ret = volume_render_rays(
             model, params, rays_o, rays_d, jax.random.PRNGKey(0),
             detailed_output=False, perturb=False, bounded_near_far=True,
-            N_samples=64, N_importance=64, N_upsample_iters=4)
+            N_samples=64, N_importance=64, N_upsample_iters=4,
+            reuse_upsample_sdf=True)
         return ret["rgb"]
 
     key = jax.random.PRNGKey(1)

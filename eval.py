@@ -69,6 +69,9 @@ def main_function(args):
               if k not in ("batched",)}
     kwargs["rayschunk"] = args.rayschunk
     kwargs["perturb"] = False
+    # inference: reuse the up-sampling loop's SDF evals (identical values,
+    # one fewer density pass; see volume_render_rays)
+    kwargs["reuse_upsample_sdf"] = True
 
     rows = []
     for vi in views:

@@ -81,6 +81,7 @@ def volume_render_rays(
     bounded_near_far: bool = True,
     random_color_direction: bool = False,
     phi_s_base: float = 256.0,
+    reuse_upsample_sdf: bool = False,
     **dummy_kwargs,
 ):
     """Render one chunk of rays. rays_o/rays_d: (..., N_rays, 3); rays_d need
@@ -175,9 +176,10 @@ def volume_render_rays(
             # argsort + take_along_axis gathers run at ~5 GB/s on TPU and
             # dominated the whole render before this
             _d, _sdf = jax.lax.sort((_d, _sdf), dimension=-1, num_keys=1)
-        return _d
+        return _d, _sdf
 
-    d_all = jax.lax.stop_gradient(upsample(jax.lax.stop_gradient(d_coarse)))
+    d_all, sdf_up = jax.lax.stop_gradient(
+        upsample(jax.lax.stop_gradient(d_coarse)))
 
     # ---- final evaluation (reference models/renderer.py:262-294)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]
@@ -186,6 +188,13 @@ def volume_render_rays(
 
     if calc_normal:
         sdf, nablas = model.forward_with_nablas(params, pts)
+    elif reuse_upsample_sdf:
+        # inference fast path: the up-sampling loop already evaluated the
+        # SDF at every point of d_all — identical values, one fewer full
+        # density pass. NOT valid for training: the upsample evals run
+        # under stop_gradient, so parameter gradients need the re-eval.
+        sdf = sdf_up
+        nablas = None
     else:
         sdf = model.forward_density_only(params, pts)
         nablas = None

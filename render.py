@@ -103,6 +103,9 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
     kwargs = {k: v for k, v in render_kwargs_test.items()
               if k not in ("batched",)}
     kwargs["calc_normal"] = True
+    # inference: reuse up-sampling SDF evals (identical values; only the
+    # calc_normal=False branch consumes it — harmless otherwise)
+    kwargs["reuse_upsample_sdf"] = True
     total_rays = 0
     t_render = 0.0
     key = jax.random.PRNGKey(0)
