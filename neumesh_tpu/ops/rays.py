@@ -145,3 +145,52 @@ def sample_pdf(bins, weights, N_importance: int, det: bool = False,
     denom = jnp.where(denom < eps, 1.0, denom)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
+
+
+def sample_cdf(bins, cdf, N_importance: int, det: bool = False,
+               eps: float = 1e-5, key=None):
+    """Inverse sampling from a PRE-COMPUTED cdf (reference
+    utils/rend_util.py:322-357): a leading zero is prepended, then the
+    same rank-count + one-hot-reduction inversion as sample_pdf.
+
+    bins: (..., n) sorted positions; cdf: (..., n - 1) cumulative values
+    in [0, 1]. Returns (..., N_importance)."""
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, N_importance)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (N_importance,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (N_importance,))
+
+    inds = jnp.sum(
+        (cdf[..., None, :] < u[..., :, None]).astype(jnp.int32), axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    j = jnp.arange(cdf.shape[-1])
+    oh_below = (below[..., None] == j).astype(cdf.dtype)
+    oh_above = (above[..., None] == j).astype(cdf.dtype)
+    cdf_below = jnp.sum(oh_below * cdf[..., None, :], axis=-1)
+    cdf_above = jnp.sum(oh_above * cdf[..., None, :], axis=-1)
+    bins_below = jnp.sum(oh_below * bins[..., None, :], axis=-1)
+    bins_above = jnp.sum(oh_above * bins[..., None, :], axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def lin2img(x, H: int, W: int, batched: bool = False, B=None):
+    """(..., H*W, C) flat pixels -> channels-first image(s)
+    (reference utils/rend_util.py:258-268)."""
+    n, c = x.shape[-2], x.shape[-1]
+    assert n == H * W or (batched and B is not None)
+    if batched:
+        if B is None:
+            B = x.shape[0]
+        else:
+            x = x.reshape(B, n // B, c)
+        return jnp.transpose(x, (0, 2, 1)).reshape(B, c, H, W)
+    return jnp.transpose(x, (1, 0)).reshape(c, H, W)

@@ -125,3 +125,34 @@ def test_barycentric_reconstructs_point(rng):
     np.testing.assert_allclose(bc, np.concatenate([u, v, w], -1), atol=1e-9)
     recon = bc[:, :1] * a + bc[:, 1:2] * b + bc[:, 2:3] * c
     np.testing.assert_allclose(recon, p, atol=1e-9)
+
+
+def test_sample_cdf_matches_sample_pdf():
+    """sample_cdf(bins, cumsum(pdf)) must agree with sample_pdf(bins, w)
+    (reference rend_util.py:322-357 vs :276-319)."""
+    import numpy as np
+
+    from neumesh_tpu.ops.rays import sample_cdf, sample_pdf
+
+    rng = np.random.default_rng(0)
+    bins = jnp.asarray(np.sort(rng.uniform(0, 4, (8, 33)), -1), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (8, 32)), jnp.float32)
+    out_pdf = sample_pdf(bins, w, 16, det=True)
+    pdf = (w + 1e-5) / jnp.sum(w + 1e-5, -1, keepdims=True)
+    out_cdf = sample_cdf(bins, jnp.cumsum(pdf, -1), 16, det=True)
+    np.testing.assert_allclose(np.asarray(out_pdf), np.asarray(out_cdf),
+                               atol=1e-5)
+
+
+def test_lin2img_shapes():
+    import numpy as np
+
+    from neumesh_tpu.ops.rays import lin2img
+
+    x = jnp.asarray(np.arange(2 * 12 * 3, dtype=np.float32)
+                    .reshape(2, 12, 3))
+    img = lin2img(x[0], 3, 4)
+    assert img.shape == (3, 3, 4)
+    imgs = lin2img(x, 3, 4, batched=True)
+    assert imgs.shape == (2, 3, 3, 4)
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(img))
