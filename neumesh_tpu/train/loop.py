@@ -189,6 +189,7 @@ def main_function(args):
     data_rng = np.random.default_rng(seed + dist.process_index())
     t_last_save = time.time()
     t0 = time.time()
+    t_last_log, it_last_log = time.time(), 0
 
     def save(name, final=False):
         if not dist.is_master():
@@ -220,18 +221,21 @@ def main_function(args):
                     log.info(f"[val] it {it}: psnr {psnr:.2f}")
 
                 key, k_step = jax.random.split(key)
-                t_step = time.time()
                 params, opt_state, total, scalars = train_step(
                     params, opt_state, model_input, ground_truth, k_step,
                     teacher_params)
                 it += 1
 
                 if it % args.training.get("i_log", 20) == 0:
-                    total_f = float(total)
+                    total_f = float(total)  # device sync
+                    now = time.time()
+                    dt_it = (now - t_last_log) / max(it - it_last_log, 1)
+                    t_last_log, it_last_log = now, it
+                    rays_s = args.data.N_rays / max(dt_it, 1e-9)
                     log.info(
                         f"it {it}/{num_iters} loss {total_f:.4f} psnr "
                         f"{float(scalars['psnr']):.2f} "
-                        f"({time.time() - t_step:.3f}s/it)")
+                        f"({dt_it * 1e3:.1f} ms/it, {rays_s:,.0f} rays/s)")
                     logger.add("learning_rates", "whole", current_lr(args, it),
                                it)
                     for k, v in scalars.items():

@@ -225,3 +225,82 @@ def _to_jnp(tree):
     if isinstance(tree, list):
         return [_to_jnp(v) for v in tree]
     return jnp.asarray(np.ascontiguousarray(tree), dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Export: neumesh_tpu param trees -> reference torch state_dicts / .pt files
+# (the exact inverses of the readers above, so released-checkpoint tooling
+# and the reference codebase can consume models trained here)
+# ---------------------------------------------------------------------------
+
+def _lin_out(sd: dict, prefix: str, p: dict):
+    """Our layer params -> torch Linear/weight-norm entries (transposed back
+    to (out, in); weight_g regains its (out, 1) column shape)."""
+    if "g" in p:
+        sd[prefix + ".weight_g"] = np.asarray(p["g"])[:, None]
+        sd[prefix + ".weight_v"] = np.ascontiguousarray(
+            np.asarray(p["v"]).T)
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+    else:
+        sd[prefix + ".weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def neumesh_params_to_state_dict(params: dict, model) -> dict:
+    """Inverse of neumesh_state_dict_to_params (reference key layout incl.
+    the nn.Sequential nesting pts_linears.{i>=2}.0.*)."""
+    sd = {
+        "ln_s": np.asarray(params["ln_s"]).reshape(1),
+        "geometry_features": np.asarray(params["geometry_features"]),
+        "color_features": np.asarray(params["color_features"]),
+        "indicator_vector": np.asarray(params["indicator_vector"]),
+    }
+    if "indicator_weight_raw" in params:
+        sd["indicator_weight_raw"] = np.asarray(
+            params["indicator_weight_raw"]).reshape(1)
+    _lin_out(sd, "pts_linears.0", params["pts_linears"][0])
+    for i in range(1, model.D_density):
+        _lin_out(sd, f"pts_linears.{i + 1}.0", params["pts_linears"][i])
+    _lin_out(sd, "density_linear", params["density_linear"])
+    _lin_out(sd, "views_linears.0", params["views_linears"][0])
+    for i in range(1, model.D_color):
+        _lin_out(sd, f"views_linears.{i + 1}.0", params["views_linears"][i])
+    _lin_out(sd, "color_linear.0", params["color_linear"])
+    return sd
+
+
+def neus_params_to_state_dict(params: dict, model) -> dict:
+    """Inverse of neus_state_dict_to_params."""
+    sd = {"ln_s": np.asarray(params["ln_s"]).reshape(1)}
+    for l, p in enumerate(params["implicit_surface"]):
+        _lin_out(sd, f"implicit_surface.surface_fc_layers.{l}", p)
+    for l, p in enumerate(params["radiance_net"]):
+        _lin_out(sd, f"radiance_net.layers.{l}", p)
+    if "nerf_outside" in params:
+        no = params["nerf_outside"]
+        for i, p in enumerate(no["pts_linears"]):
+            _lin_out(sd, f"nerf_outside.pts_linears.{i}", p)
+        _lin_out(sd, "nerf_outside.views_linears.0", no["views_linears"][0])
+        for name in ("feature_linear", "alpha_linear", "rgb_linear"):
+            if name in no:
+                _lin_out(sd, f"nerf_outside.{name}", no[name])
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: dict, model,
+                          global_step: int = 0, epoch_idx: int = 0):
+    """Write a reference-format .pt checkpoint
+    ({model: state_dict, global_step, epoch_idx}; reference
+    utils/checkpoints.py:33-46) loadable by torch.load. Uses the torch
+    runtime (CPU) for the zip-pickle container."""
+    import torch
+
+    if "geometry_features" in params:
+        sd = neumesh_params_to_state_dict(params, model)
+    else:
+        sd = neus_params_to_state_dict(params, model)
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+            sd.items()}
+    torch.save({"model": sd_t, "global_step": int(global_step),
+                "epoch_idx": int(epoch_idx)}, path)
+    return path

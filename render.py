@@ -108,6 +108,7 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
     kwargs["reuse_upsample_sdf"] = True
     total_rays = 0
     t_render = 0.0
+    view_times = []
     key = jax.random.PRNGKey(0)
     intr_j = jnp.asarray(intrinsics)
     for idx, c2w in enumerate(render_c2ws):
@@ -117,7 +118,8 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
         rgb, depth, extras = render_fn(
             params, rays_o, rays_d, key=key, detailed_output=False, **kwargs)
         rgb = np.asarray(jax.block_until_ready(rgb))
-        t_render += time.time() - t0
+        view_times.append(time.time() - t0)
+        t_render += view_times[-1]
         total_rays += H * W
         depth = np.asarray(depth).reshape(H, W, 1)
         depth = depth / max(depth.max(), 1e-9)
@@ -137,7 +139,12 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
 
     mrays_s = total_rays / max(t_render, 1e-9) / 1e6
     log.info(f"=> Rendered {total_rays} rays in {t_render:.2f}s: "
-             f"{mrays_s:.3f} Mrays/s")
+             f"{mrays_s:.3f} Mrays/s (incl. compile)")
+    if len(view_times) > 1:
+        # the first view carries the jit compile; report steady state too
+        steady = (total_rays - H * W) / max(sum(view_times[1:]), 1e-9) / 1e6
+        log.info(f"=> Steady state (excl. first view): {steady:.3f} Mrays/s")
+        mrays_s = steady
 
     post_fix = f"{H}x{W}_{args.num_views}_{args.camera_path}"
 

@@ -115,3 +115,45 @@ def test_load_checkpoint_dispatches_pt(tmp_path):
     torch.save({"model": {"a": torch.ones(3)}}, path)
     out = load_checkpoint(path)
     np.testing.assert_allclose(out["model"]["a"], 1.0)
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """params -> reference .pt -> (pure-python reader + converter) -> same
+    leaves; and torch.load can read the exported file directly."""
+    import torch
+
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.utils.checkpoints import load_checkpoint
+    from neumesh_tpu.utils.torch_ckpt import (
+        neumesh_state_dict_to_params,
+        save_torch_checkpoint,
+    )
+
+    mesh = sphere_mesh(radius=0.5, n_theta=12, n_phi=24)
+    mg = MeshGrid(mesh, distance_method="brute")
+    model = NeuMesh(mg, D_density=2, D_color=2, W=16, geometry_dim=4,
+                    color_dim=4, multires_view=1, multires_d=2,
+                    multires_fg=1, multires_ft=1,
+                    learn_indicator_weight=True)
+    params = model.init(jax.random.PRNGKey(3))
+
+    path = str(tmp_path / "export.pt")
+    save_torch_checkpoint(path, params, model, global_step=7)
+
+    # torch itself reads it
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    assert ck["global_step"] == 7
+    assert "pts_linears.0.weight_g" in ck["model"]
+
+    # our pure-python reader + converter round-trips
+    loaded = load_checkpoint(path)
+    params2 = neumesh_state_dict_to_params(
+        {k: np.asarray(v) for k, v in loaded["model"].items()}, model)
+
+    flat1, _ = jax.tree_util.tree_flatten(params)
+    flat2, _ = jax.tree_util.tree_flatten(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
