@@ -325,6 +325,10 @@ class NeuMesh:
             _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
             ids = ids[:, :max_candidates]
 
+        return self._pack_ctx(params, ids, with_features)
+
+    def _pack_ctx(self, params, ids, with_features: bool):
+        """Gather the per-(ray|tile) candidate tables for compacted ids."""
         verts_ext = jnp.concatenate(
             [self.mesh_grid.vertices,
              jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
@@ -352,9 +356,126 @@ class NeuMesh:
             ctx["feat"] = feat_ext[ids]                  # (R, C, Fg + Fc)
         return ctx
 
-    def _ctx_distance_parts(self, params, ctx, xyz, K: int = 8):
+    # ------------------------------------------------------------------
+    # Tile-shared ray contexts (TPU-first, render path).
+    #
+    # Coherent rays (image rendering) probe nearly identical grid cells,
+    # so per-ray candidate caches are ~tile-x redundant: the HBM row
+    # gathers that build them (the slowest primitive on TPU, ~5 GB/s
+    # fusions) dominate the context build. Grouping `tile` consecutive
+    # rays around ONE shared candidate set cuts the gather volume by the
+    # tile factor, aligns the candidate axis to the 128-lane vector unit,
+    # and turns per-ray feature interpolation into one real (T*S, C) @
+    # (C, F) matmul per tile on the MXU. Probe depths are staggered
+    # across the rays of a tile, so the union covers tile*n_probes
+    # distinct depths of the [near, far] range — denser than the per-ray
+    # path, which is why a single-phase bind (bounds from the same ctx)
+    # is safe here.
+    # ------------------------------------------------------------------
+
+    def make_tile_context(self, params, rays_o, rays_d, near, far,
+                          tile: int, n_probes: int = 16,
+                          kp_per_probe=None, with_features: bool = True,
+                          max_candidates=None):
+        """Tile-shared candidate cache. rays_o/d: (R, 3) with consecutive
+        rays grouped into tiles of `tile`; near/far: (R, 1). Returns a dict
+        of (R//tile, C, ...) arrays or None in brute mode."""
+        grid = self.mesh_grid.grid
+        if grid is None:
+            return None
+        R = rays_o.shape[0]
+        T = tile
+        Rt = R // T
+        n_verts = self.num_vertices
+        if max_candidates is None:
+            max_candidates = max(self.max_candidates, 128)
+
+        # staggered probe depths: ray r of a tile probes at fractions
+        # (p + r/T)/P, so the tile union covers T*P distinct depths
+        r_in_tile = (jnp.arange(R) % T).astype(jnp.float32)
+        t = (jnp.arange(n_probes, dtype=jnp.float32)[None, :]
+             + r_in_tile[:, None] / T) / n_probes        # (R, P)
+        z = near + (far - near) * t
+        probes = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+
+        dims = jnp.asarray(grid.dims)
+        cell = jnp.floor((probes - grid.origin) * grid.inv_h).astype(
+            jnp.int32)
+        cell = jnp.clip(cell, 0, dims - 1)
+        flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
+            + cell[..., 2]                               # (R, P)
+        cand = grid.cand_idx[flat]                       # (R, P, Kp)
+        if kp_per_probe is not None:
+            cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
+        ids = cand.reshape(Rt, -1)                       # (Rt, C0)
+
+        ids = jnp.sort(ids, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros((Rt, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
+        ids = jnp.where(dup, n_verts, ids)               # sentinel out dups
+
+        if ids.shape[1] > max_candidates:
+            # rank by distance to the tile's centroid segment
+            o_c = jnp.mean(rays_o.reshape(Rt, T, 3), axis=1)     # (Rt, 3)
+            d_c = jnp.mean(rays_d.reshape(Rt, T, 3), axis=1)
+            d_c = d_c / jnp.maximum(
+                jnp.linalg.norm(d_c, axis=-1, keepdims=True), 1e-12)
+            near_t = jnp.min(near.reshape(Rt, T), axis=1)        # (Rt,)
+            far_t = jnp.max(far.reshape(Rt, T), axis=1)
+
+            verts_all = jnp.concatenate(
+                [self.mesh_grid.vertices,
+                 jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
+            vp = verts_all[ids]                          # (Rt, C0, 3)
+            ov = vp - o_c[:, None, :]
+            t_c = jnp.einsum("rcd,rd->rc", ov, d_c)
+            t_c = jnp.clip(t_c, near_t[:, None], far_t[:, None])
+            seg_pt = o_c[:, None, :] + t_c[..., None] * d_c[:, None, :]
+            d2_seg = jnp.sum((vp - seg_pt) ** 2, axis=-1)
+            _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
+            ids = ids[:, :max_candidates]
+
+        return self._pack_ctx(params, ids, with_features)
+
+    def bind_rays_tiled(self, params, rays_o, rays_d, near, far,
+                        tile: int, n_probes: int = 16,
+                        max_candidates=None, with_features: bool = True):
+        """Single-phase tile binding: build ONE tile-shared candidate cache
+        over [near, far], tighten near/far per ray from the same candidate
+        geometry, and return (bound_model, near, far). Returns None when no
+        grid exists, tile <= 1, or the ray count is not a tile multiple."""
+        if self.mesh_grid.grid is None or tile <= 1:
+            return None
+        prefix = rays_o.shape[:-1]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        if ro.shape[0] % tile:
+            return None
+        nr = near.reshape(-1, 1)
+        fr = far.reshape(-1, 1)
+        ctx = self.make_tile_context(
+            params, ro, rd, nr, fr, tile, n_probes,
+            with_features=with_features, max_candidates=max_candidates)
+        near_new, far_new = candidate_bounded_near_far_tiled(
+            ctx, ro, rd, nr, fr, tile)
+        return (TileBoundNeuMesh(self, ctx, prefix, tile),
+                near_new.reshape(near.shape), far_new.reshape(far.shape))
+
+    def _ctx_distance_parts(self, params, ctx, xyz, K: int = 8,
+                            want_grad: bool = False):
         """xyz: (R, S, 3) -> (ds (R, S, 1), W (R, S, C) detached kNN
-        weights). ds is analytic in xyz/indicator params."""
+        weights[, dh (R, S, 3)]). ds is analytic in xyz/indicator params.
+
+        want_grad=True additionally returns the closed-form spatial
+        gradient of the interpolated distance,
+
+            dh = A @ n + (sum_c B_c) x - B @ v,
+            A_c = W_c w1 / (w1 + d_c)
+            B_c = W_c (3 d_c^2 (w1 + d_c) - term_c) / ((w1 + d_c)^2 d_c)
+
+        computed in the same forward sweep — much cheaper than a VJP
+        re-pass over the (R, S, C) chain, and still differentiable w.r.t.
+        params/xyz for the eikonal double-backward."""
         w1 = self.forward_indicator_weight(params)
         xx = jnp.sum(xyz * xyz, axis=-1)                 # (R, S)
         xv = jnp.einsum("rsd,rcd->rsc", xyz, ctx["pts"],
@@ -385,9 +506,19 @@ class NeuMesh:
         d = jnp.sqrt(jnp.maximum(d2, 1e-20))             # analytic
         xn = jnp.einsum("rsd,rcd->rsc", xyz, ctx["ind"],
                         preferred_element_type=jnp.float32)
-        per_c = (w1 * (xn - ctx["vn"][:, None, :]) + d * d * d) / (w1 + d)
-        ds = jnp.sum(W * per_c, axis=-1, keepdims=True)  # (R, S, 1)
-        return ds, W
+        inv = 1.0 / (w1 + d)
+        term = w1 * (xn - ctx["vn"][:, None, :]) + d * d2
+        ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)  # (R, S, 1)
+        if not want_grad:
+            return ds, W
+        A = W * (w1 * inv)                               # (R, S, C)
+        B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
+        dh = (jnp.einsum("rsc,rcd->rsd", A, ctx["ind"],
+                         preferred_element_type=jnp.float32)
+              + jnp.sum(B, axis=-1, keepdims=True) * xyz
+              - jnp.einsum("rsc,rcd->rsd", B, ctx["pts"],
+                           preferred_element_type=jnp.float32))
+        return ds, W, dh
 
     def _density_from_interp(self, params, ds, fg):
         """Geometry MLP on (embedded ds, embedded pre-interpolated fg)."""
@@ -424,13 +555,8 @@ class NeuMesh:
         """(density, nabla, d_emb, W, ft-or-None). with_ft=True also
         interpolates the color features in the SAME batched matmul as the
         geometry features (the forward path needs both)."""
-        def h_of_x(x):
-            ds, W = self._ctx_distance_parts(params, ctx, x)
-            return ds[..., 0], W
-
-        (h, W), vjp_fn = jax.vjp(h_of_x, xyz, has_aux=False)
-        (dh_dx,) = vjp_fn((jnp.ones_like(h), jnp.zeros_like(W)))
-        ds = h[..., None]
+        ds, W, dh_dx = self._ctx_distance_parts(
+            params, ctx, xyz, want_grad=True)
 
         if with_ft:
             feats = self._ctx_interp_feats(ctx, W)
@@ -604,6 +730,63 @@ class RayBoundNeuMesh:
             nabla = None
         color = m._color_from_interp(params, d_emb, v, ft, nabla)
         return self._unflat(density[..., 0]), self._unflat(color)
+
+
+class TileBoundNeuMesh(RayBoundNeuMesh):
+    """Protocol view bound to tile-shared candidate caches: `tile`
+    consecutive rays share one (C, ...) candidate set; a sample query of
+    shape (..., S, 3) is answered as (R/tile, tile*S, C) batched math."""
+
+    def __init__(self, model: NeuMesh, ctx: dict, prefix, tile: int):
+        super().__init__(model, ctx, prefix)
+        self.tile = tile
+
+    def _flat(self, x):
+        """(prefix..., S, d) -> (Rt, tile*S, d)."""
+        n = len(self.prefix)
+        rest = x.shape[n + 1:]
+        return x.reshape((-1, self.tile * x.shape[n]) + rest)
+
+    def _unflat(self, y):
+        return y.reshape(
+            self.prefix + (y.shape[1] // self.tile,) + y.shape[2:])
+
+
+def candidate_bounded_near_far_tiled(ctx, rays_o, rays_d, near, far,
+                                     tile: int,
+                                     distance_thresh: float = 0.1):
+    """Per-ray mesh-bounded near/far from a TILE-shared candidate set —
+    same closed-form segment math as candidate_bounded_near_far, with the
+    candidate axis shared across the `tile` rays of each group.
+    rays/near/far: (R, 3)/(R, 1)."""
+    R = rays_o.shape[0]
+    Rt = R // tile
+    pts = ctx["pts"]                                      # (Rt, C, 3)
+    o = rays_o.reshape(Rt, tile, 1, 3)
+    d = rays_d.reshape(Rt, tile, 1, 3)
+    ov = pts[:, None, :, :] - o                           # (Rt, T, C, 3)
+    t_c = jnp.sum(ov * d, axis=-1)                        # (Rt, T, C)
+    d_perp2 = jnp.sum(ov * ov, axis=-1) - t_c * t_c
+    s2 = distance_thresh * distance_thresh - d_perp2
+    covered = s2 > 0
+    s = jnp.sqrt(jnp.where(covered, s2, 1.0)) * covered
+
+    nr = near.reshape(Rt, tile, 1)
+    fr = far.reshape(Rt, tile, 1)
+    t_lo = jnp.where(covered, t_c - s, 1e10)
+    t_hi = jnp.where(covered, t_c + s, -1e10)
+    near_new = jnp.min(t_lo, axis=-1, keepdims=True)      # (Rt, T, 1)
+    far_new = jnp.max(t_hi, axis=-1, keepdims=True)
+    near_new = jnp.clip(near_new, nr, fr)
+    far_new = jnp.clip(far_new, nr, fr)
+    hit = jnp.any(covered, axis=-1, keepdims=True)
+    near_new = jnp.where(hit, near_new, nr)
+    far_new = jnp.where(hit, far_new, fr)
+
+    too_close = (far_new - near_new) < 0.1
+    far_new = jnp.where(too_close, far_new + 0.05, far_new)
+    near_new = jnp.where(too_close, near_new - 0.05, near_new)
+    return near_new.reshape(R, 1), far_new.reshape(R, 1)
 
 
 def candidate_bounded_near_far(ctx, rays_o, rays_d, near, far,

@@ -82,6 +82,7 @@ def volume_render_rays(
     random_color_direction: bool = False,
     phi_s_base: float = 256.0,
     reuse_upsample_sdf: bool = False,
+    ray_tile: int = 0,
     **dummy_kwargs,
 ):
     """Render one chunk of rays. rays_o/rays_d: (..., N_rays, 3); rays_d need
@@ -98,6 +99,34 @@ def volume_render_rays(
 
     near, far = near_far_from_sphere(rays_o, rays_d, r=obj_bounding_radius)
     can_bind = hasattr(model, "bind_rays") and rays_o.ndim >= 2
+
+    # tile-shared candidate path (coherent rays / rendering): ONE context
+    # build serves candidate-bounded near/far AND every sample query
+    if (ray_tile and ray_tile > 1 and can_bind
+            and hasattr(model, "bind_rays_tiled")):
+        tb = model.bind_rays_tiled(
+            params, rays_o, rays_d, near, far, tile=ray_tile)
+        if tb is not None:
+            bound_model, near_t, far_t = tb
+            if bounded_near_far:
+                near, far = near_t, far_t
+            if near_bypass is not None:
+                near = jnp.full_like(near, near_bypass)
+            if far_bypass is not None:
+                far = jnp.full_like(far, far_bypass)
+            return _render_core(
+                bound_model, params, rays_o, rays_d, near, far,
+                up_keys, color_dir_key,
+                calc_normal=calc_normal, use_view_dirs=use_view_dirs,
+                white_bkgd=white_bkgd, detailed_output=detailed_output,
+                perturb=perturb, N_samples=N_samples,
+                N_importance=N_importance,
+                N_upsample_iters=N_upsample_iters,
+                samples_output=samples_output,
+                random_color_direction=random_color_direction,
+                phi_s_base=phi_s_base,
+                reuse_upsample_sdf=reuse_upsample_sdf)
+
     if bounded_near_far and hasattr(model, "compute_distance"):
         pre_ctx = None
         if can_bind and hasattr(model, "make_ray_context"):
@@ -126,12 +155,49 @@ def volume_render_rays(
 
     # specialise the model to this ray batch (per-ray candidate cache;
     # NeuMesh fast path) — all subsequent sample queries are (R, S, 3)
+    bound_model = model
     if can_bind:
         bound = model.bind_rays(params, rays_o, rays_d, near, far,
                                 n_probes=8)
         if bound is not None:
-            model = bound
+            bound_model = bound
 
+    return _render_core(
+        bound_model, params, rays_o, rays_d, near, far,
+        up_keys, color_dir_key,
+        calc_normal=calc_normal, use_view_dirs=use_view_dirs,
+        white_bkgd=white_bkgd, detailed_output=detailed_output,
+        perturb=perturb, N_samples=N_samples, N_importance=N_importance,
+        N_upsample_iters=N_upsample_iters, samples_output=samples_output,
+        random_color_direction=random_color_direction,
+        phi_s_base=phi_s_base, reuse_upsample_sdf=reuse_upsample_sdf)
+
+
+def _render_core(
+    model,
+    params,
+    rays_o,
+    rays_d,
+    near,
+    far,
+    up_keys,
+    color_dir_key,
+    *,
+    calc_normal,
+    use_view_dirs,
+    white_bkgd,
+    detailed_output,
+    perturb,
+    N_samples,
+    N_importance,
+    N_upsample_iters,
+    samples_output,
+    random_color_direction,
+    phi_s_base,
+    reuse_upsample_sdf,
+):
+    """Sampling + up-sampling + evaluation + compositing on a (possibly
+    ray-bound) model with near/far already resolved."""
     view_dirs = rays_d if use_view_dirs else None
 
     # ---- coarse samples (reference models/renderer.py:193-194)

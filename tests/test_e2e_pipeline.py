@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from neumesh_tpu.config import ConfigDict
 from neumesh_tpu.dataio.synthetic import generate_sphere_scene
 

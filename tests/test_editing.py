@@ -82,6 +82,7 @@ def test_editing_params_uv_normalize():
     assert p.uv[..., 1].max() == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_texture_editable_blend_masks():
     """Inside the edit region the color must come from the ref model;
     outside, from the main model."""
@@ -120,6 +121,7 @@ def test_texture_editable_blend_masks():
     np.testing.assert_allclose(blend[0], np.asarray(ref_color)[0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_texture_editable_protocol_render():
     from neumesh_tpu.render.volume import volume_render_rays
 
@@ -269,6 +271,7 @@ def test_vis_mesh_exports(tmp_path):
     assert load_ply(p2).vertex_colors is not None
 
 
+@pytest.mark.slow
 def test_texture_editable_ctx_matches_slow_path():
     """The ray-bound editable view (per-ray cached masks/edit features,
     batched-matmul blend) must reproduce the per-sample reference blend."""
@@ -326,6 +329,7 @@ def test_texture_editable_ctx_matches_slow_path():
     assert diff.min() < 1e-5, "unedited region altered"
 
 
+@pytest.mark.slow
 def test_texture_editable_ctx_full_render():
     """volume_render_rays drives the bound editable end-to-end (grid)."""
     from neumesh_tpu.render.volume import volume_render_rays

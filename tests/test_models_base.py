@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def test_geometric_init_is_sphere():
     assert err[near].mean() < 0.12, err[near].mean()
 
 
+@pytest.mark.slow
 def test_forward_with_nablas_matches_fd():
     surf = ImplicitSurface(W=64, D=4, skips=(2,), W_geo_feat=32,
                            embed_multires=2)

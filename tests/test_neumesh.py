@@ -120,6 +120,7 @@ def test_forward_with_nablas_fd(tiny_model):
                                    atol=5e-3, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_grad_flows_to_features_and_indicator(tiny_model):
     model, params = tiny_model
     x = jnp.asarray(np.random.default_rng(3).uniform(
@@ -138,6 +139,7 @@ def test_grad_flows_to_features_and_indicator(tiny_model):
         assert np.abs(leaf).sum() > 0, f"no gradient reached {key}"
 
 
+@pytest.mark.slow
 def test_eikonal_double_backward(tiny_model):
     """grad of (|| grad_x sdf || - 1)^2 w.r.t. params must be finite."""
     model, params = tiny_model
@@ -156,6 +158,7 @@ def test_eikonal_double_backward(tiny_model):
     assert np.abs(np.asarray(g["indicator_vector"])).sum() > 0
 
 
+@pytest.mark.slow
 def test_render_neumesh_end_to_end(tiny_model):
     """Full volume render through the NeuMesh protocol incl. mesh-bounded
     near/far (the reference's default path for NeuMesh)."""

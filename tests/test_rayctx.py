@@ -1,4 +1,5 @@
 """Ray-context fast path must agree with the reference per-sample path."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +59,7 @@ def sample_points(o, d, n_samples=12):
     return o[:, None, :] + z[..., None] * d[:, None, :], near, far
 
 
+@pytest.mark.slow
 def test_ctx_density_matches_reference_path():
     model, ref_model, params = make_models_with_ref()
     o, d = camera_rays()
@@ -130,6 +132,7 @@ def test_ctx_batched_prefix():
                                np.asarray(dens_flat), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ctx_render_and_grads():
     """Full render through the bound path + gradient flow to features."""
     from neumesh_tpu.render.volume import volume_render_rays
@@ -156,6 +159,7 @@ def test_ctx_render_and_grads():
     assert np.isfinite(np.asarray(ret["rgb"])).all()
 
 
+@pytest.mark.slow
 def test_ctx_render_matches_unbound_render():
     """End-to-end render: bound vs slow path must produce the same image."""
     from neumesh_tpu.render.volume import volume_render_rays
@@ -194,6 +198,7 @@ def test_ctx_render_matches_unbound_render():
     assert np.max(d_err * acc) < 2e-2, (d_err, acc)
 
 
+@pytest.mark.slow
 def test_bf16_compute_mode_close_to_f32():
     """compute_dtype=bfloat16 keeps outputs within render tolerance of f32
     (geometry/kNN math stays f32)."""

@@ -1,6 +1,7 @@
 """Renderer validated against an analytic sphere scene: a model whose SDF is
 |x| - R and whose color is constant must composit to that color with depth at
 the sphere surface."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_miss_rays_zero_acc_and_white_bkgd():
     np.testing.assert_allclose(np.asarray(ret_w["rgb"]), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_chunked_render_matches_unchunked():
     model = SphereModel()
     o, d = camera_rays(96)
@@ -96,6 +98,7 @@ def test_chunked_render_matches_unchunked():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_samples_output_shapes():
     model = SphereModel()
     o, d = camera_rays(16)
@@ -110,6 +113,7 @@ def test_samples_output_shapes():
     assert ret["dirs"].shape == (16, n_pts - 1, 3)
 
 
+@pytest.mark.slow
 def test_jit_and_grad_through_renderer():
     """The render program must be differentiable (training path)."""
     class ScaledSphere(SphereModel):

@@ -1,5 +1,6 @@
 """Surface renderer on the analytic sphere: root finding and sphere tracing
 must hit the surface at the exact intersection distance."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +139,7 @@ class _DistanceFieldModel:
             return self.forward_density_only(params, x), n
 
 
+@pytest.mark.slow
 def test_surface_render_neumesh_ctx():
     """surface_render on a grid-mode NeuMesh distance field takes the
     ray-bound fast path (mesh-tightened interval + candidate-cache

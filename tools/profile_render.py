@@ -122,7 +122,7 @@ def main():
     # ---- stage F: density + nabla at (R, S)
     @jax.jit
     def stage_dn(params, ctx, xyz):
-        d, n, _, _ = model._ctx_density_and_nabla(params, ctx, xyz)
+        d, n, _, _, _ = model._ctx_density_and_nabla(params, ctx, xyz)
         return d, n
 
     timeit(f"F: density+nabla ({R}x{S})", stage_dn, params, ctx, xyz)
@@ -132,7 +132,7 @@ def main():
 
     @jax.jit
     def stage_fwd(params, ctx, xyz, dirs):
-        d, n, d_emb, W = model._ctx_density_and_nabla(params, ctx, xyz)
+        d, n, d_emb, W, _ = model._ctx_density_and_nabla(params, ctx, xyz)
         c = model._ctx_color(params, ctx, d_emb, dirs, W, n)
         return d, c
 
