@@ -477,9 +477,18 @@ class NeuMesh:
         re-pass over the (R, S, C) chain, and still differentiable w.r.t.
         params/xyz for the eikonal double-backward."""
         w1 = self.forward_indicator_weight(params)
+        # NOTE: xv/xn are computed as per-coordinate VPU broadcasts, NOT
+        # einsums. On TPU, f32 einsums run on the MXU with bf16 inputs by
+        # default (JAX Precision.DEFAULT), and the resulting ~1e-2 absolute
+        # error in x.v corrupts d2 = |x|^2 + |v|^2 - 2 x.v (a catastrophic
+        # cancellation: d2 is ~1e-3 while the terms are ~4), flipping kNN
+        # selection and occasionally producing near-zero d2 for candidates
+        # ~0.05 away. The broadcast form is exact f32.
+        x0, x1, x2 = xyz[..., 0:1], xyz[..., 1:2], xyz[..., 2:3]
+        pts, ind = ctx["pts"], ctx["ind"]
+        xv = (x0 * pts[:, None, :, 0] + x1 * pts[:, None, :, 1]
+              + x2 * pts[:, None, :, 2])                 # (R, S, C)
         xx = jnp.sum(xyz * xyz, axis=-1)                 # (R, S)
-        xv = jnp.einsum("rsd,rcd->rsc", xyz, ctx["pts"],
-                        preferred_element_type=jnp.float32)
         d2 = xx[..., None] + ctx["pp"][:, None, :] - 2.0 * xv
         d2 = jnp.maximum(d2, 0.0)
 
@@ -504,8 +513,8 @@ class NeuMesh:
         W = jax.lax.stop_gradient(W)
 
         d = jnp.sqrt(jnp.maximum(d2, 1e-20))             # analytic
-        xn = jnp.einsum("rsd,rcd->rsc", xyz, ctx["ind"],
-                        preferred_element_type=jnp.float32)
+        xn = (x0 * ind[:, None, :, 0] + x1 * ind[:, None, :, 1]
+              + x2 * ind[:, None, :, 2])                 # (R, S, C)
         inv = 1.0 / (w1 + d)
         term = w1 * (xn - ctx["vn"][:, None, :]) + d * d2
         ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)  # (R, S, 1)
@@ -513,11 +522,11 @@ class NeuMesh:
             return ds, W
         A = W * (w1 * inv)                               # (R, S, C)
         B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
-        dh = (jnp.einsum("rsc,rcd->rsd", A, ctx["ind"],
-                         preferred_element_type=jnp.float32)
-              + jnp.sum(B, axis=-1, keepdims=True) * xyz
-              - jnp.einsum("rsc,rcd->rsd", B, ctx["pts"],
-                           preferred_element_type=jnp.float32))
+        dh = jnp.stack(
+            [jnp.sum(A * ind[:, None, :, k] - B * pts[:, None, :, k],
+                     axis=-1)
+             for k in range(3)], axis=-1) \
+            + jnp.sum(B, axis=-1, keepdims=True) * xyz
         return ds, W, dh
 
     def _density_from_interp(self, params, ds, fg):
@@ -544,8 +553,11 @@ class NeuMesh:
             feat = feat[..., lo:hi]
         Wm = W if dt is None else W.astype(dt)
         fm = feat if dt is None else feat.astype(dt)
+        # f32 mode is the parity mode: force true-f32 MXU passes (TPU
+        # default would silently truncate the inputs to bf16)
         return jnp.einsum("rsc,rcf->rsf", Wm, fm,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=None if dt is not None else "highest")
 
     def _ctx_density(self, params, ctx, ds, W):
         fg = self._ctx_interp_feats(ctx, W, hi=self.geometry_dim)
@@ -658,16 +670,17 @@ class RayBoundNeuMesh:
     # ---- fused Pallas path (forward-only; ops/pallas_kernels.py) --------
     def _fused_density_nabla(self, params, xyz, need_nabla: bool,
                              need_ft: bool = False):
-        from ...ops.pallas_kernels import candidate_field
+        from ...ops.pallas_kernels import candidate_field_v3, pack_ctx_geo
         m = self.model
         w1 = m.forward_indicator_weight(params)
         # interpret mode off-TPU (CPU tests / debugging)
         interpret = jax.default_backend() != "tpu"
+        if "geo" not in self.ctx:
+            self.ctx["geo"] = pack_ctx_geo(self.ctx)
         feat = self.ctx["feat"] if need_ft \
             else self.ctx["feat"][..., :m.geometry_dim]
-        ds, dh, feats = candidate_field(
-            xyz, self.ctx["pts"], self.ctx["pp"], self.ctx["ind"],
-            self.ctx["vn"], feat, w1, interpret=interpret,
+        ds, dh, feats = candidate_field_v3(
+            xyz, self.ctx["geo"], feat, w1, interpret=interpret,
             want_dh=need_nabla)
         fg = feats[..., :m.geometry_dim]
         ft = feats[..., m.geometry_dim:] if need_ft else None
@@ -807,7 +820,7 @@ def candidate_bounded_near_far(ctx, rays_o, rays_d, near, far,
     (models/renderer.py:99-101). rays/near/far: (R, 3)/(R, 1).
     """
     ov = ctx["pts"] - rays_o[:, None, :]                  # (R, C, 3)
-    t_c = jnp.einsum("rcd,rd->rc", ov, rays_d)
+    t_c = jnp.sum(ov * rays_d[:, None, :], axis=-1)      # exact f32 (VPU)
     d_perp2 = jnp.sum(ov * ov, axis=-1) - t_c * t_c
     s2 = distance_thresh * distance_thresh - d_perp2
     covered = s2 > 0

@@ -39,7 +39,15 @@ def linear_init(key, in_dim: int, out_dim: int) -> Params:
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p["w"] + p["b"]
+    return _f32_dot(x, p["w"]) + p["b"]
+
+
+def _f32_dot(x, w):
+    """True-f32 matmul: TPU's default precision feeds the MXU bf16 inputs
+    for f32 operands (~1e-2 relative error), which breaks checkpoint parity
+    with the f32 CUDA reference. f32 is the parity mode, so force exact
+    passes; low-precision serving goes through the explicit dtype path."""
+    return jnp.dot(x, w, precision="highest")
 
 
 def wnorm_from_weight(w: jnp.ndarray) -> Params:
@@ -62,7 +70,7 @@ def wnorm_weight(p: Params) -> jnp.ndarray:
 
 
 def wnorm_linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ wnorm_weight(p) + p["b"]
+    return _f32_dot(x, wnorm_weight(p)) + p["b"]
 
 
 def maybe_wnorm_init(key, in_dim, out_dim, weight_norm: bool) -> Params:
@@ -80,7 +88,7 @@ def maybe_wnorm_apply(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         return (jnp.dot(x.astype(dtype), w.astype(dtype),
                         preferred_element_type=dtype)
                 + p["b"].astype(dtype))
-    return x @ w + p["b"]
+    return _f32_dot(x, w) + p["b"]
 
 
 def maybe_wnorm_apply_parts(p: Params, parts: Sequence[jnp.ndarray],
@@ -100,7 +108,7 @@ def maybe_wnorm_apply_parts(p: Params, parts: Sequence[jnp.ndarray],
             out = out + jnp.dot(x.astype(dtype), wi.astype(dtype),
                                 preferred_element_type=dtype)
         else:
-            out = out + x @ wi
+            out = out + _f32_dot(x, wi)
     return out
 
 
@@ -149,15 +157,38 @@ class Embedder:
             else:
                 self.freqs = ()
             self.out_dim = input_dim * (1 + 2 * n_freqs)
+        # doubling fast path applies when every frequency is exactly twice
+        # the previous one (always true for the reference's log sampling
+        # with integer max_freq_log2 = multires - 1)
+        self._doubling = (
+            len(self.freqs) >= 1 and self.freqs[0] == 1.0
+            and all(abs(self.freqs[i + 1] - 2.0 * self.freqs[i]) == 0.0
+                    for i in range(len(self.freqs) - 1)))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.multires < 0:
             return x
         parts = [x]
-        for f in self.freqs:
-            xf = x * f
-            parts.append(jnp.sin(xf))
-            parts.append(jnp.cos(xf))
+        if self._doubling:
+            # log-sampled frequencies are exact powers of two, so octave
+            # k+1 follows from octave k by the double-angle identities
+            # (2 muls + 1 sub per element) instead of transcendental
+            # sin/cos calls — these dominated the whole TPU render
+            # (~30x the cost of an FMA, ~half of every density pass).
+            # Exact to rounding: ~1 ulp accumulated per octave.
+            s = jnp.sin(x)
+            c = jnp.cos(x)
+            parts.append(s)
+            parts.append(c)
+            for _ in self.freqs[1:]:
+                s, c = 2.0 * s * c, c * c - s * s
+                parts.append(s)
+                parts.append(c)
+        else:
+            for f in self.freqs:
+                xf = x * f
+                parts.append(jnp.sin(xf))
+                parts.append(jnp.cos(xf))
         return jnp.concatenate(parts, axis=-1)
 
     # allow use as a static (hashable) member of jitted model configs

@@ -44,7 +44,10 @@ def knn_brute(query: jnp.ndarray, points: jnp.ndarray, k: int,
 
     def one_chunk(q):
         qq = jnp.sum(q * q, axis=-1, keepdims=True)  # (C, 1)
-        d2 = qq + pp[None, :] - 2.0 * q @ points.T  # (C, N)
+        # precision='highest': TPU f32 matmuls default to bf16 MXU inputs,
+        # whose ~1e-2 error destroys the |q|^2+|p|^2-2qp cancellation
+        d2 = qq + pp[None, :] - 2.0 * jnp.dot(
+            q, points.T, precision="highest")        # (C, N)
         neg, idx = jax.lax.top_k(-d2, k)
         return jnp.maximum(-neg, 0.0), idx
 

@@ -1,6 +1,20 @@
 """Pallas TPU kernels for the NeuMesh hot path.
 
-``candidate_field``: the fused per-ray candidate computation — for every
+``candidate_field_v3`` (the production kernel): per-(ray|tile) candidate
+math with the candidate axis on the 128-lane dimension. The context is
+packed as one (8, C) f32 block per ray/tile — rows [px py pz ix iy iz
+pp vn] — so every per-candidate operand is a natural (1, C) lane row and
+the whole selection + distance + gradient chain runs out of VMEM without
+a single relayout; features interpolate as one real (S_blk, C) @ (C, F)
+MXU matmul per program (tile-shared candidates — no per-ray mini-matmul
+loops, v2's downfall). Grid is (batch, sample-blocks) with the context
+blocks constant along the inner dimension, so Mosaic keeps them resident
+in VMEM across all sample blocks of a tile.
+
+The older ``candidate_field`` (v2) is kept for reference/tests but loses
+to the XLA path; v3 replaces it on the serving path.
+
+``candidate_field`` (v2): the fused per-ray candidate computation — for every
 sample of every ray, against the ray's candidate set (built by
 NeuMesh.make_ray_context):
 
@@ -175,3 +189,146 @@ def candidate_field(xyz, pts, pp, ind, vn, feat, w1, k: int = 8,
         oi += 1
     feats = out[oi][:R0] if want_feat else None
     return ds, dh, feats
+
+
+# ---------------------------------------------------------------------------
+# v3: candidate axis on lanes, tile-shared contexts, one MXU matmul per
+# program for feature interpolation.
+# ---------------------------------------------------------------------------
+
+def _v3_kernel(w1_ref, xyz_ref, geo_ref, feat_ref, *out_refs,
+               k: int, want_dh: bool, want_feat: bool):
+    w1 = w1_ref[0]
+    x = xyz_ref[0]                          # (Sblk, 3)
+    geo = geo_ref[0]                        # (8, C)
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]     # (Sblk, 1)
+    px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]  # (1, C)
+    ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
+    pp, vn = geo[6:7, :], geo[7:8, :]
+    C = geo.shape[1]
+
+    xv = x0 * px + x1 * py + x2 * pz                 # (Sblk, C)
+    xx = x0 * x0 + x1 * x1 + x2 * x2                 # (Sblk, 1)
+    d2 = jnp.maximum(xx + pp - 2.0 * xv, 0.0)
+
+    # k-th-smallest threshold with the deterministic lowest-index
+    # tie-break of the XLA path (NeuMesh._ctx_distance_parts)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(
+        jnp.float32)
+    d2_tb = d2 * (1.0 + iota * 2e-7)
+    cur = d2_tb
+    for _ in range(k):
+        thr = jnp.min(cur, axis=-1, keepdims=True)
+        cur = jnp.where(cur <= thr, jnp.inf, cur)
+    mask = d2_tb <= thr
+
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)  # (Sblk, C)
+
+    xn = x0 * ix + x1 * iy + x2 * iz
+    inv = 1.0 / (w1 + d)
+    term = w1 * (xn - vn) + d * d2                   # d^3
+    ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)
+
+    oi = 0
+    if want_dh:
+        # closed form: dh = A @ n + (sum_c B_c) x - B @ v
+        A = W * (w1 * inv)
+        B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
+        sB = jnp.sum(B, axis=-1, keepdims=True)
+        dhx = jnp.sum(A * ix - B * px, axis=-1, keepdims=True) + sB * x0
+        dhy = jnp.sum(A * iy - B * py, axis=-1, keepdims=True) + sB * x1
+        dhz = jnp.sum(A * iz - B * pz, axis=-1, keepdims=True) + sB * x2
+        out_refs[oi][0] = jnp.concatenate([ds, dhx, dhy, dhz], axis=-1)
+    else:
+        out_refs[oi][0] = ds
+    oi += 1
+    if want_feat:
+        # precision='highest': in-kernel MXU f32 dots otherwise truncate
+        # inputs to bf16 (serving uses bf16 MLPs anyway; this keeps the
+        # kernel exact for the f32 parity mode at negligible cost)
+        out_refs[oi][0] = jnp.dot(W, feat_ref[0],
+                                  preferred_element_type=jnp.float32,
+                                  precision="highest")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "interpret", "sample_block", "want_dh", "want_feat"))
+def candidate_field_v3(xyz, geo, feat, w1, k: int = 8,
+                       interpret: bool = False, sample_block: int = 256,
+                       want_dh: bool = True, want_feat: bool = True):
+    """Fused candidate-field evaluation (see module docstring).
+
+    xyz:  (B, S, 3) sample points (B = rays or tiles; S = samples per B).
+    geo:  (B, 8, C) packed candidate geometry rows [px py pz ix iy iz pp vn]
+          (sentinel candidates use px=py=pz=1e9 -> never selected).
+    feat: (B, C, F) candidate features (ignored unless want_feat).
+    w1:   scalar indicator weight.
+
+    Returns (ds (B, S, 1), dh (B, S, 3) | None, feats (B, S, F) | None).
+    C should be a multiple of 128 (pad with sentinels); S is padded to the
+    sample block internally.
+    """
+    B, S0, _ = xyz.shape
+    C = geo.shape[2]
+    F = feat.shape[-1] if want_feat else 0
+    cpad = (-C) % 128
+    if cpad:
+        # sentinel candidates: far-away position rows never get selected
+        fill = jnp.zeros((B, 8, cpad), jnp.float32)
+        fill = fill.at[:, 0:3, :].set(1e9)
+        geo = jnp.concatenate([geo, fill], axis=2)
+        if want_feat:
+            feat = jnp.pad(feat, ((0, 0), (0, cpad), (0, 0)))
+        C += cpad
+    sblk = min(sample_block, max(32, S0))
+    pad = (-S0) % sblk
+    if pad:
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    S = S0 + pad
+    w1_arr = jnp.full((1,), w1, jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, sblk, 3), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, max(F, 1)), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    d_cols = 4 if want_dh else 1
+    out_specs = [pl.BlockSpec((1, sblk, d_cols), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, S, d_cols), jnp.float32)]
+    if want_feat:
+        out_specs.append(pl.BlockSpec((1, sblk, F), lambda i, j: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, S, F), jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_v3_kernel, k=k, want_dh=want_dh,
+                          want_feat=want_feat),
+        grid=(B, S // sblk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(w1_arr, xyz, geo,
+      feat if want_feat else jnp.zeros((B, C, 1), jnp.float32))
+
+    dsdh = out[0][:, :S0]
+    ds = dsdh[..., 0:1]
+    dh = dsdh[..., 1:4] if want_dh else None
+    feats = out[1][:, :S0] if want_feat else None
+    return ds, dh, feats
+
+
+def pack_ctx_geo(ctx):
+    """(B, 8, C) packed geometry block from a ray/tile context dict."""
+    pts_t = jnp.swapaxes(ctx["pts"], -1, -2)         # (B, 3, C)
+    ind_t = jnp.swapaxes(ctx["ind"], -1, -2)         # (B, 3, C)
+    return jnp.concatenate(
+        [pts_t, ind_t, ctx["pp"][:, None, :], ctx["vn"][:, None, :]],
+        axis=1)

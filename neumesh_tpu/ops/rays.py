@@ -42,7 +42,8 @@ def pixel_to_rays(i, j, c2w, intrinsics):
     rays_d = pixel_points_cam[..., :3]
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     # rotate into world: R @ d
-    rays_d = jnp.einsum("...ab,...nb->...na", c2w[..., :3, :3], rays_d)
+    rays_d = jnp.einsum("...ab,...nb->...na", c2w[..., :3, :3], rays_d,
+                        precision="highest")
     cam_loc = c2w[..., :3, 3]
     rays_o = jnp.broadcast_to(cam_loc[..., None, :], rays_d.shape)
     return rays_o, rays_d
