@@ -667,7 +667,54 @@ class RayBoundNeuMesh:
     def forward_s(self, params):
         return self.model.forward_s(params)
 
-    # ---- fused Pallas path (forward-only; ops/pallas_kernels.py) --------
+    # ---- fully-fused Pallas field path (forward-only) -------------------
+    def _field_weights(self, params):
+        """Fold weight-norm into plain (in, out) weights (+ (1, out)
+        biases), cast to the serving dtype; split the density first layer
+        into its d-embedding / fg-embedding row blocks."""
+        from ...nn import wnorm_weight
+        m = self.model
+        dt = m.compute_dtype
+
+        def eff(p):
+            w = wnorm_weight(p) if "g" in p else p["w"]
+            return w if dt is None else w.astype(dt)
+
+        p0 = params["pts_linears"][0]
+        w0 = eff(p0)
+        dws = [w0[:m.input_ch_d], w0[m.input_ch_d:], p0["b"][None]]
+        for p in params["pts_linears"][1:]:
+            dws += [eff(p), p["b"][None]]
+        ph = params["density_linear"]
+        dws += [eff(ph), ph["b"][None]]
+
+        c0 = params["views_linears"][0]
+        cws = [eff(c0), c0["b"][None]]
+        for p in params["views_linears"][1:]:
+            cws += [eff(p), p["b"][None]]
+        cph = params["color_linear"]
+        cws += [eff(cph), cph["b"][None]]
+        return tuple(dws), tuple(cws)
+
+    def _fused_field(self, params, xyz, want: str, dirs=None):
+        from ...ops.pallas_kernels import field_fused, pack_ctx_geo
+        m = self.model
+        if "geo" not in self.ctx:
+            self.ctx["geo"] = pack_ctx_geo(self.ctx)
+        dws, cws = self._field_weights(params)
+        feat = (self.ctx["feat"] if want == "full"
+                else self.ctx["feat"][..., :m.geometry_dim])
+        return field_fused(
+            xyz, self.ctx["geo"], feat, m.forward_indicator_weight(params),
+            dws, cws if want == "full" else None, dirs,
+            want=want, multires_d=m.embed_fn_d.multires,
+            multires_fg=m.embed_fn_fg.multires,
+            multires_ft=m.embed_fn_ft.multires,
+            multires_view=m.embed_fn_view.multires,
+            geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
+            interpret=jax.default_backend() != "tpu")
+
+    # ---- v3 Pallas candidate path (ctx math only; ops/pallas_kernels.py)
     def _fused_density_nabla(self, params, xyz, need_nabla: bool,
                              need_ft: bool = False):
         from ...ops.pallas_kernels import candidate_field_v3, pack_ctx_geo
@@ -707,8 +754,8 @@ class RayBoundNeuMesh:
     def forward_density_only(self, params, xyz):
         x = self._flat(xyz)
         if self.model.use_pallas:
-            density, _, _, _ = self._fused_density_nabla(params, x, False)
-            return self._unflat(density[..., 0])
+            out = self._fused_field(params, x, "density")
+            return self._unflat(out[..., 0])
         ds, W = self.model._ctx_distance_parts(params, self.ctx, x)
         density, _ = self.model._ctx_density(params, self.ctx, ds, W)
         return self._unflat(density[..., 0])
@@ -716,8 +763,9 @@ class RayBoundNeuMesh:
     def forward_with_nablas(self, params, xyz):
         x = self._flat(xyz)
         if self.model.use_pallas:
-            density, nabla, _, _ = self._fused_density_nabla(params, x, True)
-            return self._unflat(density[..., 0]), self._unflat(nabla)
+            out = self._fused_field(params, x, "density_nabla")
+            return (self._unflat(out[..., 0]),
+                    self._unflat(out[..., 1:4]))
         density, nabla, _, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
@@ -726,6 +774,9 @@ class RayBoundNeuMesh:
         m = self.model
         x = self._flat(xyz)
         v = self._flat(view_dirs)
+        if m.use_pallas and m.enable_nablas_input:
+            out = self._fused_field(params, x, "full", dirs=v)
+            return self._unflat(out[..., 0]), self._unflat(out[..., 4:7])
         if m.use_pallas:
             density, nabla, d_emb, ft = self._fused_density_nabla(
                 params, x, m.enable_nablas_input, need_ft=True)

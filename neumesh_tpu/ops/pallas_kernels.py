@@ -275,9 +275,15 @@ def candidate_field_v3(xyz, geo, feat, w1, k: int = 8,
     F = feat.shape[-1] if want_feat else 0
     cpad = (-C) % 128
     if cpad:
-        # sentinel candidates: far-away position rows never get selected
+        # sentinel candidates: pp = |v|^2 = +huge with v = 0 makes
+        # d2 = |x|^2 + pp - 2 x.v ~ +huge, so sentinels are never
+        # selected; 1e12 is huge vs real d2 (<~10) but keeps term =
+        # d * d2 ~ 1e18 finite in f32 (1e30 overflows to inf and
+        # 0 * inf = NaN in the weighted sums). (Do NOT put the sentinel in the position rows with
+        # pp = 0: d2 would go hugely NEGATIVE for x.v > 0 and the clamp
+        # at 0 would make the sentinel the NEAREST candidate.)
         fill = jnp.zeros((B, 8, cpad), jnp.float32)
-        fill = fill.at[:, 0:3, :].set(1e9)
+        fill = fill.at[:, 6, :].set(1e12)
         geo = jnp.concatenate([geo, fill], axis=2)
         if want_feat:
             feat = jnp.pad(feat, ((0, 0), (0, cpad), (0, 0)))
@@ -325,6 +331,206 @@ def candidate_field_v3(xyz, geo, feat, w1, k: int = 8,
     return ds, dh, feats
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused field kernel: candidate math + positional embeddings +
+# density MLP (+ scalar-tangent JVP for nablas) + color MLP, one program.
+#
+# Device traces of the v3-kernel render showed the remaining time going to
+# embedding construction and MLP activations round-tripping HBM as
+# (rays, samples, 160..256) tensors. Here a sample block never leaves
+# VMEM: per program we compute the interpolated distance and kNN feature
+# blend from the (8, C)/(C, F) context blocks, build d/fg/ft/view
+# embeddings by the double-angle recursion in registers, and run the
+# (folded weight-norm) MLPs on the MXU from VMEM-resident bf16 weights.
+# HBM traffic per sample drops to xyz (+dirs) in, (sdf, nabla, rgb) out.
+#
+# The density tangent dD/dh (for nabla = dD/dh * grad h) is forward-mode:
+# the fg features use detached kNN weights, so the only nonzero input
+# tangent is through d_emb; each layer propagates t = (t @ W) * act'(pre).
+# ---------------------------------------------------------------------------
+
+
+def _emb_parts(x, n_freq: int):
+    """[x, sin x, cos x, sin 2x, cos 2x, ...] by double-angle recursion."""
+    parts = [x]
+    if n_freq >= 1:
+        s = jnp.sin(x)
+        c = jnp.cos(x)
+        parts += [s, c]
+        for _ in range(n_freq - 1):
+            s, c = 2.0 * s * c, c * c - s * s
+            parts += [s, c]
+    return parts
+
+
+def _emb_parts_with_tangent(x, n_freq: int):
+    """(parts, d parts / dx) for scalar-input embeddings."""
+    parts = [x]
+    dparts = [jnp.ones_like(x)]
+    if n_freq >= 1:
+        s, c = jnp.sin(x), jnp.cos(x)
+        ds_, dc = c, -s
+        parts += [s, c]
+        dparts += [ds_, dc]
+        for _ in range(n_freq - 1):
+            s, c, ds_, dc = (2.0 * s * c, c * c - s * s,
+                             2.0 * (ds_ * c + s * dc),
+                             2.0 * (c * dc - s * ds_))
+            parts += [s, c]
+            dparts += [ds_, dc]
+    return parts, dparts
+
+
+def _softplus100(x):
+    bx = 100.0 * x
+    return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
+
+
+def _softplus100_grad(x):
+    bx = 100.0 * x
+    return jnp.where(bx > 20.0, 1.0, jax.nn.sigmoid(bx))
+
+
+def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
+                  k: int, n_dens: int, n_col: int, want: str,
+                  multires_d: int, multires_fg: int, multires_ft: int,
+                  multires_view: int, geometry_dim: int, dtype):
+    """refs = [dens weights..., color weights..., out]."""
+    w1 = w1_ref[0]
+    x = xyz_ref[0]                                   # (Sblk, 3)
+    geo = geo_ref[0]                                 # (8, C)
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
+    ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
+    pp, vn = geo[6:7, :], geo[7:8, :]
+    C = geo.shape[1]
+    want_nabla = want in ("density_nabla", "full")
+
+    xv = x0 * px + x1 * py + x2 * pz
+    xx = x0 * x0 + x1 * x1 + x2 * x2
+    d2 = jnp.maximum(xx + pp - 2.0 * xv, 0.0)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(
+        jnp.float32)
+    d2_tb = d2 * (1.0 + iota * 2e-7)
+    cur = d2_tb
+    for _ in range(k):
+        thr = jnp.min(cur, axis=-1, keepdims=True)
+        cur = jnp.where(cur <= thr, jnp.inf, cur)
+    mask = d2_tb <= thr
+
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)
+
+    xn = x0 * ix + x1 * iy + x2 * iz
+    inv = 1.0 / (w1 + d)
+    term = w1 * (xn - vn) + d * d2
+    ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)   # (Sblk, 1)
+
+    if want_nabla:
+        A = W * (w1 * inv)
+        B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
+        sB = jnp.sum(B, axis=-1, keepdims=True)
+        dhx = jnp.sum(A * ix - B * px, axis=-1, keepdims=True) + sB * x0
+        dhy = jnp.sum(A * iy - B * py, axis=-1, keepdims=True) + sB * x1
+        dhz = jnp.sum(A * iz - B * pz, axis=-1, keepdims=True) + sB * x2
+
+    # kNN feature blend: one MXU matmul against the context features
+    feats = jnp.dot(W, feat_ref[0], preferred_element_type=jnp.float32,
+                    precision="highest")                  # (Sblk, F)
+    fg = feats[:, :geometry_dim]
+    ft = feats[:, geometry_dim:] if want == "full" else None
+
+    def cast(a):
+        return a if dtype is None else a.astype(dtype)
+
+    def dot(a, wref):
+        wm = wref[...]
+        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
+                       precision=None if dtype is not None else "highest")
+
+    def dot_rows(a, wref, lo):
+        # first-layer weights are consumed by input-part row slices so the
+        # wide embedding concats are never materialised
+        wm = wref[pl.ds(lo, a.shape[-1]), :]
+        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
+                       precision=None if dtype is not None else "highest")
+
+    ri = 0
+    dens_ws = refs[ri:ri + 2 * (n_dens + 1) + 1]
+    ri += 2 * (n_dens + 1) + 1
+    col_ws = refs[ri:ri + 2 * (n_col + 1)] if want == "full" else ()
+    ri += 2 * (n_col + 1) if want == "full" else 0
+    out_ref = refs[-1]
+
+    # ---- density MLP: pre0 = d_emb @ w0d + fg_emb @ w0f + b0
+    # dens_ws = [w0d, w0f, b0, w1, b1, ..., w_head, b_head]
+    w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
+    if want_nabla:
+        demb, ddemb = _emb_parts_with_tangent(ds, multires_d)
+        t = dot(jnp.concatenate(ddemb, axis=-1), w0d)
+    else:
+        demb = _emb_parts(ds, multires_d)
+    d_emb = jnp.concatenate(demb, axis=-1)               # (Sblk, 17)
+    pre = dot(d_emb, w0d) + b0[...][0]
+    lo = 0
+    for p in _emb_parts(fg, multires_fg):
+        pre = pre + dot_rows(p, w0f, lo)
+        lo += p.shape[-1]
+    h = _softplus100(pre)
+    if want_nabla:
+        t = t * _softplus100_grad(pre)
+    wi = 3
+    for _ in range(n_dens - 1):
+        wl, bl = dens_ws[wi], dens_ws[wi + 1]
+        wi += 2
+        pre = dot(h, wl) + bl[...][0]
+        h = _softplus100(pre)
+        if want_nabla:
+            t = dot(t, wl) * _softplus100_grad(pre)
+    wh, bh = dens_ws[wi], dens_ws[wi + 1]
+    dens = dot(h, wh) + bh[...][0]                       # (Sblk, 1)
+    dens = dens.astype(jnp.float32)
+    if want_nabla:
+        dDdh = dot(t, wh).astype(jnp.float32)            # (Sblk, 1)
+        nx, ny, nz = dDdh * dhx, dDdh * dhy, dDdh * dhz
+
+    if want == "density":
+        out_ref[0] = dens
+        return
+    if want == "density_nabla":
+        out_ref[0] = jnp.concatenate([dens, nx, ny, nz], axis=-1)
+        return
+
+    # ---- color MLP: [nabla, d_emb, view_emb, ft_emb] @ W0 ...
+    # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
+    vdir = dirs_ref[0]                                   # (Sblk, 3)
+    cw0, cb0 = col_ws[0], col_ws[1]
+    nab = jnp.concatenate([nx, ny, nz], axis=-1)
+    pre = cb0[...][0] + dot_rows(nab, cw0, 0)
+    lo = 3
+    pre = pre + dot_rows(d_emb, cw0, lo)
+    lo += d_emb.shape[-1]
+    for p in _emb_parts(vdir, multires_view):
+        pre = pre + dot_rows(p, cw0, lo)
+        lo += p.shape[-1]
+    for p in _emb_parts(ft, multires_ft):
+        pre = pre + dot_rows(p, cw0, lo)
+        lo += p.shape[-1]
+    hcol = jnp.maximum(pre, 0.0)
+    wi = 2
+    for _ in range(n_col - 1):
+        wl, bl = col_ws[wi], col_ws[wi + 1]
+        wi += 2
+        hcol = jnp.maximum(dot(hcol, wl) + bl[...][0], 0.0)
+    cwh, cbh = col_ws[wi], col_ws[wi + 1]
+    rgb = jax.nn.sigmoid((dot(hcol, cwh)
+                          + cbh[...][0]).astype(jnp.float32))
+    out_ref[0] = jnp.concatenate(
+        [dens, nx, ny, nz, rgb, jnp.zeros_like(dens)], axis=-1)
+
+
 def pack_ctx_geo(ctx):
     """(B, 8, C) packed geometry block from a ray/tile context dict."""
     pts_t = jnp.swapaxes(ctx["pts"], -1, -2)         # (B, 3, C)
@@ -332,3 +538,96 @@ def pack_ctx_geo(ctx):
     return jnp.concatenate(
         [pts_t, ind_t, ctx["pp"][:, None, :], ctx["vn"][:, None, :]],
         axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "interpret", "sample_block", "want", "multires_d", "multires_fg",
+    "multires_ft", "multires_view", "geometry_dim", "dtype"))
+def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
+                k: int = 8, want: str = "density", multires_d: int = 8,
+                multires_fg: int = 2, multires_ft: int = 2,
+                multires_view: int = 4, geometry_dim: int = 32,
+                dtype=None, sample_block: int = 256,
+                interpret: bool = False):
+    """Fused NeuMesh field evaluation (see _field_kernel block comment).
+
+    xyz: (B, S, 3); geo: (B, 8, C) packed candidate geometry; feat:
+    (B, C, F) candidate features (F = geometry_dim for density wants,
+    geometry+color dims for 'full'); w1 scalar.
+    dens_ws: (w0d (d_emb, W), w0f (fg_emb, W), b0 (1, W), [Wi (W, W),
+    bi (1, W)]..., w_head (W, 1), b_head (1, 1)) — weight-norm already
+    folded, cast to `dtype` by the caller for low-precision serving.
+    col_ws (want='full'): (w0 (3+d_emb+view_emb+ft_emb, W), b0, [Wi, bi]...,
+    w_head (W, 3), b_head (1, 3)); color input order [nabla, d_emb,
+    view_emb, ft_emb] (reference neumesh.py:239-260, nablas enabled).
+
+    Returns (B, S, cols): cols = 1 (density) / 4 (density, nabla) /
+    8 (density, nabla, rgb, pad).
+    """
+    B, S0, _ = xyz.shape
+    C = geo.shape[2]
+    F = feat.shape[-1]
+    cpad = (-C) % 128
+    if cpad:
+        # see candidate_field_v3: sentinel = (v=0, pp=+huge), NOT v=1e9
+        fill = jnp.zeros((B, 8, cpad), jnp.float32)
+        fill = fill.at[:, 6, :].set(1e12)
+        geo = jnp.concatenate([geo, fill], axis=2)
+        feat = jnp.pad(feat, ((0, 0), (0, cpad), (0, 0)))
+        C += cpad
+    sblk = min(sample_block, max(32, S0))
+    pad = (-S0) % sblk
+    if pad:
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        if dirs is not None:
+            dirs = jnp.pad(dirs, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    S = S0 + pad
+    w1_arr = jnp.full((1,), w1, jnp.float32)
+
+    n_dens = (len(dens_ws) - 3) // 2
+    if want == "full":
+        assert col_ws is not None and dirs is not None
+        n_col = (len(col_ws) - 2) // 2
+        col_ws = tuple(col_ws)
+        d_cols = 8
+    else:
+        n_col = 0
+        col_ws = ()
+        dirs = jnp.zeros((B, 1, 3), jnp.float32)
+        d_cols = 4 if want == "density_nabla" else 1
+    dens_ws = tuple(dens_ws)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    dirs_spec = (pl.BlockSpec((1, sblk, 3), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+                 if want == "full" else
+                 pl.BlockSpec((1, 1, 3), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, sblk, 3), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        dirs_spec,
+        pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, F), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [const_spec(a) for a in dens_ws] + [const_spec(a) for a in col_ws]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _field_kernel, k=k, n_dens=n_dens, n_col=n_col, want=want,
+            multires_d=multires_d, multires_fg=multires_fg,
+            multires_ft=multires_ft, multires_view=multires_view,
+            geometry_dim=geometry_dim, dtype=dtype),
+        grid=(B, S // sblk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, sblk, d_cols), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, d_cols), jnp.float32),
+        interpret=interpret,
+    )(w1_arr, xyz, dirs, geo, feat, *dens_ws, *col_ws)
+    return out[:, :S0]
