@@ -72,12 +72,17 @@ class CandidateGrid:
     origin (3,), inv_h scalar, dims (static 3-tuple).
     """
     cand_idx: jnp.ndarray
-    cand_pts: object            # lazy: numpy until the per-sample path runs
+    cand_pts: object            # host numpy (stays numpy: stable pytree)
     origin: jnp.ndarray
     inv_h: jnp.ndarray
     dims: Tuple[int, int, int]
 
     def tree_flatten(self):
+        # cand_pts is returned AS BUILT (host numpy): registered leaves
+        # must never change type across calls, or jit sees a different
+        # closure/argument signature per call (recompile + staleness
+        # hazard). The device copy lives in the _pts_dev cache attribute,
+        # deliberately OUTSIDE the pytree.
         return ((self.cand_idx, self.cand_pts, self.origin, self.inv_h),
                 (self.dims,))
 
@@ -87,12 +92,16 @@ class CandidateGrid:
 
     def _pts_device(self):
         """Device-resident candidate positions; transferred on first use.
-        The ray-context path only needs cand_idx, so keeping cand_pts lazy
-        avoids shipping the biggest table to the accelerator unless the
-        per-sample query path actually runs."""
-        if not isinstance(self.cand_pts, jnp.ndarray):
-            self.cand_pts = jnp.asarray(np.asarray(self.cand_pts))
-        return self.cand_pts
+        The ray-context path only needs cand_idx, so keeping cand_pts on
+        the host avoids shipping the biggest table to the accelerator
+        unless the per-sample query path actually runs. The transfer is
+        cached in a non-pytree attribute; self.cand_pts is never
+        mutated."""
+        dev = self.__dict__.get("_pts_dev")
+        if dev is None:
+            dev = jnp.asarray(np.asarray(self.cand_pts))
+            self.__dict__["_pts_dev"] = dev
+        return dev
 
     @property
     def Kp(self) -> int:

@@ -15,18 +15,69 @@ from ..utils.print_fn import log
 _initialized = False
 
 
+def first_slurm_node(node_list: str) -> str:
+    """First hostname of a SLURM_NODELIST compact spec.
+
+    Handles 'host1', 'host1,host2', and bracket ranges like
+    'cluster-[003-010,012]' / 'node[1,5-7]' (reference
+    utils/dist_util.py:53-66 does the same truncation with string
+    slicing; here the first node's name is reconstructed properly
+    instead of assuming a site-specific hostname layout)."""
+    node_list = node_list.strip()
+    if "[" not in node_list:
+        return node_list.split(",")[0]
+    head, rest = node_list.split("[", 1)
+    body = rest.split("]", 1)[0]
+    first = body.split(",")[0].split("-")[0]
+    return head + first
+
+
+def slurm_coordinator_spec(environ=None, port: int | None = None):
+    """(coordinator_address, num_processes, process_id) synthesized from
+    SLURM_* env vars (reference utils/dist_util.py:49-77 builds
+    MASTER_ADDR/PORT/RANK/WORLD_SIZE the same way for NCCL); None when not
+    under SLURM."""
+    env = os.environ if environ is None else environ
+    if "SLURM_PROCID" not in env or "SLURM_NODELIST" not in env:
+        return None
+    addr = first_slurm_node(env["SLURM_NODELIST"])
+    port = port or int(env.get("MASTER_PORT", 13333))
+    return (f"{addr}:{port}", int(env["SLURM_NTASKS"]),
+            int(env["SLURM_PROCID"]))
+
+
 def init_env(args=None, seed: int = 42):
     """Initialise the distributed runtime when running multi-host, and seed
     host-side RNGs (reference utils/dist_util.py:14-46 seeds globally after
-    process-group init)."""
+    process-group init).
+
+    Multi-host bootstrap order: explicit coordinator env vars
+    (COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS) take precedence, then
+    SLURM_* synthesis (reference utils/dist_util.py:49-77's
+    slurm_initialize). Launch recipe under SLURM:
+
+        srun --ntasks=<hosts> --ntasks-per-node=1 python train.py ...
+
+    — each task calls jax.distributed.initialize against port 13333 (or
+    MASTER_PORT / args.port) on the first node of SLURM_NODELIST."""
     global _initialized
     import numpy as np
 
-    multi_host = any(v in os.environ for v in (
+    explicit = any(v in os.environ for v in (
         "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS"))
-    if multi_host and not _initialized:
+    slurm = slurm_coordinator_spec(
+        port=getattr(args, "port", None) if args is not None else None)
+    if (explicit or slurm) and not _initialized:
         import jax
-        jax.distributed.initialize()
+        if explicit or slurm is None:
+            jax.distributed.initialize()
+        else:
+            addr, n_procs, proc_id = slurm
+            log.info(f"SLURM bootstrap: coordinator {addr}, "
+                     f"process {proc_id}/{n_procs}")
+            jax.distributed.initialize(
+                coordinator_address=addr, num_processes=n_procs,
+                process_id=proc_id)
         _initialized = True
         log.info(f"jax.distributed initialised: process "
                  f"{jax.process_index()}/{jax.process_count()}")

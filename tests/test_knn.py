@@ -141,3 +141,21 @@ def test_knn_stop_gradient_semantics():
         dx = jnp.zeros(3).at[dim].set(eps)
         fd = (f(x0 + dx) - f(x0 - dx)) / (2 * eps)
         np.testing.assert_allclose(float(g[dim]), float(fd), atol=5e-2)
+
+
+def test_grid_pytree_structure_stable_across_query():
+    """Registered pytree leaves must not change type/identity when the
+    per-sample query path triggers the lazy device transfer (a leaf that
+    flips numpy->jnp across calls changes what jit sees)."""
+    import jax
+
+    v = sphere_points(500)
+    grid = build_candidate_grid(v)
+    leaves0, treedef0 = jax.tree_util.tree_flatten(grid)
+    types0 = [type(l) for l in leaves0]
+    grid.query(jnp.asarray(v[:16]), k=4)  # triggers _pts_device()
+    leaves1, treedef1 = jax.tree_util.tree_flatten(grid)
+    assert treedef0 == treedef1
+    assert [type(l) for l in leaves1] == types0
+    for a, b in zip(leaves0, leaves1):
+        assert a is b
