@@ -59,6 +59,7 @@ class NeuMesh:
         compute_dtype=None,
         use_pallas: bool = False,
         max_candidates: int = 96,
+        pallas_sample_block: int = 256,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -78,6 +79,11 @@ class NeuMesh:
         # path (rendering/serving; training keeps the differentiable XLA
         # path) — see ops/pallas_kernels.py
         self.use_pallas = use_pallas
+        # samples per fused-kernel program: the kernel's per-program cost
+        # has a fixed component (grid step + DMA issue), so small blocks
+        # at small ray batches leave the chip idle; large blocks need
+        # VMEM for the (sblk, C) selection temporaries
+        self.pallas_sample_block = pallas_sample_block
         # per-ray candidate cache size (ray-context compaction): smaller is
         # faster (every per-sample tensor scales with it) but weakens kNN
         # coverage for rays grazing dense regions
@@ -712,6 +718,7 @@ class RayBoundNeuMesh:
             multires_ft=m.embed_fn_ft.multires,
             multires_view=m.embed_fn_view.multires,
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
+            sample_block=m.pallas_sample_block,
             interpret=jax.default_backend() != "tpu")
 
     # ---- v3 Pallas candidate path (ctx math only; ops/pallas_kernels.py)
@@ -755,7 +762,7 @@ class RayBoundNeuMesh:
         x = self._flat(xyz)
         if self.model.use_pallas:
             out = self._fused_field(params, x, "density")
-            return self._unflat(out[..., 0])
+            return self._unflat(out[0])
         ds, W = self.model._ctx_distance_parts(params, self.ctx, x)
         density, _ = self.model._ctx_density(params, self.ctx, ds, W)
         return self._unflat(density[..., 0])
@@ -764,8 +771,8 @@ class RayBoundNeuMesh:
         x = self._flat(xyz)
         if self.model.use_pallas:
             out = self._fused_field(params, x, "density_nabla")
-            return (self._unflat(out[..., 0]),
-                    self._unflat(out[..., 1:4]))
+            return (self._unflat(out[0]),
+                    self._unflat(jnp.stack(out[1:4], axis=-1)))
         density, nabla, _, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
@@ -776,7 +783,8 @@ class RayBoundNeuMesh:
         v = self._flat(view_dirs)
         if m.use_pallas and m.enable_nablas_input:
             out = self._fused_field(params, x, "full", dirs=v)
-            return self._unflat(out[..., 0]), self._unflat(out[..., 4:7])
+            return (self._unflat(out[0]),
+                    self._unflat(jnp.stack(out[4:7], axis=-1)))
         if m.use_pallas:
             density, nabla, d_emb, ft = self._fused_density_nabla(
                 params, x, m.enable_nablas_input, need_ft=True)

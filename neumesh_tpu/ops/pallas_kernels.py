@@ -395,9 +395,16 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
                   k: int, n_dens: int, n_col: int, want: str,
                   multires_d: int, multires_fg: int, multires_ft: int,
                   multires_view: int, geometry_dim: int, dtype):
-    """refs = [dens weights..., color weights..., out]."""
+    """refs = [dens weights..., color weights..., out rows...].
+
+    xyz/dirs arrive TRANSPOSED as (8, Sblk) blocks (samples on the
+    128-lane dim) and outputs leave as (1, Sblk) rows: a (B, S, 3)
+    f32 operand/result of a TPU custom call is tiled T(8, 128) on its
+    last two dims — a 43x memory/bandwidth blowup that OOMs large ray
+    batches. The (8, Sblk)->(Sblk, 8) transposes here are exact
+    in-register relayouts."""
     w1 = w1_ref[0]
-    x = xyz_ref[0]                                   # (Sblk, 3)
+    x = xyz_ref[0].T                                 # (Sblk, 8)
     geo = geo_ref[0]                                 # (8, C)
     x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
     px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
@@ -436,9 +443,13 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
         dhy = jnp.sum(A * iy - B * py, axis=-1, keepdims=True) + sB * x1
         dhz = jnp.sum(A * iz - B * pz, axis=-1, keepdims=True) + sB * x2
 
-    # kNN feature blend: one MXU matmul against the context features
-    feats = jnp.dot(W, feat_ref[0], preferred_element_type=jnp.float32,
-                    precision="highest")                  # (Sblk, F)
+    # kNN feature blend: one MXU matmul against the context features,
+    # contracting the trailing C dim of both operands (feat is stored
+    # transposed (F, C) so its tiles carry no lane padding)
+    feats = jax.lax.dot_general(
+        W, feat_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision="highest")                              # (Sblk, F)
     fg = feats[:, :geometry_dim]
     ft = feats[:, geometry_dim:] if want == "full" else None
 
@@ -461,8 +472,6 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     dens_ws = refs[ri:ri + 2 * (n_dens + 1) + 1]
     ri += 2 * (n_dens + 1) + 1
     col_ws = refs[ri:ri + 2 * (n_col + 1)] if want == "full" else ()
-    ri += 2 * (n_col + 1) if want == "full" else 0
-    out_ref = refs[-1]
 
     # ---- density MLP: pre0 = d_emb @ w0d + fg_emb @ w0f + b0
     # dens_ws = [w0d, w0f, b0, w1, b1, ..., w_head, b_head]
@@ -496,16 +505,25 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
         dDdh = dot(t, wh).astype(jnp.float32)            # (Sblk, 1)
         nx, ny, nz = dDdh * dhx, dDdh * dhy, dDdh * dhz
 
+    def emit(cols):
+        # stack the (Sblk, 1) result columns and transpose once to the
+        # (8, Sblk) output rows (a 2D (1, Sblk) per-component output
+        # would need a block with second-minor dim 1, which Mosaic
+        # rejects; the unused rows of the density-only variant cost
+        # ~0.05 ms/pass of HBM writes at 4096 rays)
+        cols = cols + [jnp.zeros_like(dens)] * (8 - len(cols))
+        refs[-1][0] = jnp.concatenate(cols, axis=-1).T   # (8, Sblk)
+
     if want == "density":
-        out_ref[0] = dens
+        emit([dens])
         return
     if want == "density_nabla":
-        out_ref[0] = jnp.concatenate([dens, nx, ny, nz], axis=-1)
+        emit([dens, nx, ny, nz])
         return
 
     # ---- color MLP: [nabla, d_emb, view_emb, ft_emb] @ W0 ...
     # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
-    vdir = dirs_ref[0]                                   # (Sblk, 3)
+    vdir = dirs_ref[0].T[:, 0:3]                         # (Sblk, 3)
     cw0, cb0 = col_ws[0], col_ws[1]
     nab = jnp.concatenate([nx, ny, nz], axis=-1)
     pre = cb0[...][0] + dot_rows(nab, cw0, 0)
@@ -527,8 +545,8 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     cwh, cbh = col_ws[wi], col_ws[wi + 1]
     rgb = jax.nn.sigmoid((dot(hcol, cwh)
                           + cbh[...][0]).astype(jnp.float32))
-    out_ref[0] = jnp.concatenate(
-        [dens, nx, ny, nz, rgb, jnp.zeros_like(dens)], axis=-1)
+    emit([dens, nx, ny, nz,
+          rgb[:, 0:1], rgb[:, 1:2], rgb[:, 2:3]])
 
 
 def pack_ctx_geo(ctx):
@@ -561,8 +579,15 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
     w_head (W, 3), b_head (1, 3)); color input order [nabla, d_emb,
     view_emb, ft_emb] (reference neumesh.py:239-260, nablas enabled).
 
-    Returns (B, S, cols): cols = 1 (density) / 4 (density, nabla) /
-    8 (density, nabla, rgb, pad).
+    Returns a list of (B, S) f32 arrays: [sdf] (density),
+    [sdf, nx, ny, nz] (density_nabla), [sdf, nx, ny, nz, r, g, b] (full).
+
+    Layout contract (see _field_kernel): xyz/dirs are shipped transposed
+    as (B, 8, S) (zero-padded rows 3..7), feat transposed as (B, F, C),
+    and each result component is its own (B, S) array — every custom-call
+    operand/result then tiles T(8, 128) with no padding blowup. The
+    naive (B, S, 3)/(B, S, cols) layouts cost 16-43x padded HBM and OOM
+    at 65536 rays.
     """
     B, S0, _ = xyz.shape
     C = geo.shape[2]
@@ -584,36 +609,43 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
     S = S0 + pad
     w1_arr = jnp.full((1,), w1, jnp.float32)
 
+    def t8(a):
+        """(B, S, 3) -> (B, 8, S)."""
+        return jnp.pad(jnp.swapaxes(a, 1, 2), ((0, 0), (0, 5), (0, 0)))
+
+    xq = t8(xyz)
+    feat_t = jnp.swapaxes(feat, 1, 2)                # (B, F, C)
+
     n_dens = (len(dens_ws) - 3) // 2
     if want == "full":
         assert col_ws is not None and dirs is not None
         n_col = (len(col_ws) - 2) // 2
         col_ws = tuple(col_ws)
-        d_cols = 8
+        dq = t8(dirs)
     else:
         n_col = 0
         col_ws = ()
-        dirs = jnp.zeros((B, 1, 3), jnp.float32)
-        d_cols = 4 if want == "density_nabla" else 1
+        dq = jnp.zeros((B, 8, 1), jnp.float32)
+    n_out = {"density": 1, "density_nabla": 4, "full": 7}[want]
     dens_ws = tuple(dens_ws)
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    dirs_spec = (pl.BlockSpec((1, sblk, 3), lambda i, j: (i, j, 0),
+    dirs_spec = (pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
                  if want == "full" else
-                 pl.BlockSpec((1, 1, 3), lambda i, j: (i, 0, 0),
+                 pl.BlockSpec((1, 8, 1), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, sblk, 3), lambda i, j: (i, j, 0),
+        pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
         dirs_spec,
         pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, F), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((1, F, C), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [const_spec(a) for a in dens_ws] + [const_spec(a) for a in col_ws]
 
@@ -625,9 +657,9 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
             geometry_dim=geometry_dim, dtype=dtype),
         grid=(B, S // sblk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, sblk, d_cols), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, d_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, S), jnp.float32),
         interpret=interpret,
-    )(w1_arr, xyz, dirs, geo, feat, *dens_ws, *col_ws)
-    return out[:, :S0]
+    )(w1_arr, xq, dq, geo, feat_t, *dens_ws, *col_ws)
+    return [out[:, i, :S0] for i in range(n_out)]

@@ -157,3 +157,122 @@ def test_torch_export_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_flagship_neumesh_statedict_forward_parity(tmp_path):
+    """Full flagship-architecture conversion (VERDICT r1 #4): a torch twin
+    with the reference's exact module/state_dict layout (reference
+    models/frameworks/neumesh/neumesh.py:36-102 — weight-normed pts_linears
+    / density_linear, plain views_linears / color_linear, nn.Sequential
+    nesting, embedder ordering models/base.py:52-87) must produce the SAME
+    density and color as this repo's model running the converted params."""
+    torch = pytest.importorskip("torch")
+    from torch import nn
+    from torch.nn.utils import weight_norm
+
+    torch.manual_seed(0)
+    D_density, D_color, W = 3, 4, 256
+    geometry_dim = color_dim = 32
+    multires_d, multires_fg, multires_ft, multires_view = 8, 2, 2, 4
+    V = 50
+
+    def emb(x, m):
+        out = [x]
+        for i in range(m):
+            f = 2.0 ** i
+            out += [torch.sin(x * f), torch.cos(x * f)]
+        return torch.cat(out, -1)
+
+    input_ch_d = 1 * (1 + 2 * multires_d)
+    input_ch_fg = geometry_dim * (1 + 2 * multires_fg)
+    input_ch_ft = color_dim * (1 + 2 * multires_ft)
+    input_ch_view = 3 * (1 + 2 * multires_view)
+    input_ch_pts = input_ch_d + input_ch_fg
+    input_ch_color = input_ch_view + input_ch_ft + input_ch_d + 3  # +nablas
+
+    class TorchTwin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_s = nn.Parameter(torch.tensor([0.123]))
+            self.geometry_features = nn.Parameter(
+                torch.randn(V, geometry_dim))
+            self.color_features = nn.Parameter(torch.randn(V, color_dim))
+            self.indicator_vector = nn.Parameter(torch.randn(V, 3))
+            self.indicator_weight_raw = nn.Parameter(torch.tensor([-2.0]))
+            sp = nn.Softplus(beta=100)
+            self.pts_linears = nn.Sequential(
+                weight_norm(nn.Linear(input_ch_pts, W)), sp,
+                *[nn.Sequential(weight_norm(nn.Linear(W, W)), sp)
+                  for _ in range(D_density - 1)])
+            self.views_linears = nn.Sequential(
+                nn.Linear(input_ch_color, W), nn.ReLU(),
+                *[nn.Sequential(nn.Linear(W, W), nn.ReLU())
+                  for _ in range(D_color - 1)])
+            self.density_linear = weight_norm(nn.Linear(W, 1))
+            self.color_linear = nn.Sequential(nn.Linear(W, 3), nn.Sigmoid())
+
+    twin = TorchTwin()
+    sd = {k: v.detach() for k, v in twin.state_dict().items()}
+    assert "pts_linears.0.weight_g" in sd          # weight-norm layout
+    assert "views_linears.2.0.weight" in sd        # Sequential nesting
+
+    # convert through the .pt writer + pure-python reader + converter
+    path = str(tmp_path / "flagship.pt")
+    torch.save({"model": sd, "global_step": 1}, path)
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.utils.torch_ckpt import (load_torch_checkpoint,
+                                              neumesh_state_dict_to_params)
+
+    mesh = sphere_mesh(radius=0.5, n_theta=5, n_phi=10)  # V = 50
+    assert mesh.n_vertices == V
+    model = NeuMesh(MeshGrid(mesh, distance_method="brute"),
+                    D_density=D_density, D_color=D_color, W=W,
+                    geometry_dim=geometry_dim, color_dim=color_dim,
+                    multires_view=multires_view, multires_d=multires_d,
+                    multires_fg=multires_fg, multires_ft=multires_ft,
+                    enable_nablas_input=True, learn_indicator_weight=True)
+    loaded = load_torch_checkpoint(path)
+    params = neumesh_state_dict_to_params(loaded["model"], model)
+
+    # every converted leaf came from the state_dict (count + ln_s value)
+    np.testing.assert_allclose(np.asarray(params["ln_s"]), [0.123])
+    assert len(params["pts_linears"]) == D_density
+    assert len(params["views_linears"]) == D_color
+
+    # torch-side forward of the density + color stacks
+    rng = np.random.default_rng(0)
+    N = 64
+    ds = rng.normal(size=(N, 1)).astype(np.float32) * 0.1
+    fg = rng.normal(size=(N, geometry_dim)).astype(np.float32)
+    ft = rng.normal(size=(N, color_dim)).astype(np.float32)
+    nabla = rng.normal(size=(N, 3)).astype(np.float32)
+    vdirs = rng.normal(size=(N, 3)).astype(np.float32)
+    vdirs /= np.linalg.norm(vdirs, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        t_ds = torch.from_numpy(ds)
+        d_emb_t = emb(t_ds, multires_d)
+        fg_emb_t = emb(torch.from_numpy(fg), multires_fg)
+        h = twin.pts_linears(torch.cat([d_emb_t, fg_emb_t], -1))
+        want_density = twin.density_linear(h).numpy()
+        color_in = torch.cat(
+            [torch.from_numpy(nabla), d_emb_t,
+             emb(torch.from_numpy(vdirs), multires_view),
+             emb(torch.from_numpy(ft), multires_ft)], -1)
+        want_color = twin.color_linear(twin.views_linears(color_in)).numpy()
+
+    got_density, d_emb_j = model._density_from_interp(
+        params, jnp.asarray(ds), jnp.asarray(fg))
+    # the double-angle embedder accumulates ~1 ulp/octave: ~7e-6 at
+    # multires_d=8 (exact-formula torch side is the reference)
+    np.testing.assert_allclose(np.asarray(d_emb_j), d_emb_t.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_density), want_density,
+                               atol=1e-4)
+    got_color = model._color_from_interp(
+        params, d_emb_j, jnp.asarray(vdirs), jnp.asarray(ft),
+        jnp.asarray(nabla))
+    np.testing.assert_allclose(np.asarray(got_color), want_color,
+                               atol=1e-4)
