@@ -73,6 +73,14 @@ def main_function(args):
     # one fewer density pass; see volume_render_rays)
     kwargs["reuse_upsample_sdf"] = True
 
+    # LPIPS when the standard weight files are supplied (ops/lpips.py;
+    # offline runs skip the metric)
+    from neumesh_tpu.ops.lpips import load_lpips_weights, lpips as lpips_fn
+    lpips_w = load_lpips_weights()
+    if lpips_w is None:
+        log.info("LPIPS weights not found "
+                 "(set NEUMESH_LPIPS_VGG/NEUMESH_LPIPS_LIN); skipping")
+
     rows = []
     for vi in views:
         _, sample, gt = dataset[vi]
@@ -85,15 +93,23 @@ def main_function(args):
         p = float(psnr_fn(jnp.asarray(pred), jnp.asarray(ref)))
         s = float(ssim_fn(jnp.asarray(pred.transpose(2, 0, 1)),
                           jnp.asarray(ref.transpose(2, 0, 1))))
-        rows.append({"view": int(vi), "psnr": round(p, 3),
-                     "ssim": round(s, 4)})
-        log.info(f"view {vi}: psnr {p:.2f} ssim {s:.4f}")
+        row = {"view": int(vi), "psnr": round(p, 3), "ssim": round(s, 4)}
+        if lpips_w is not None:
+            row["lpips"] = round(float(np.asarray(
+                lpips_fn(lpips_w, pred, ref))), 4)
+        rows.append(row)
+        log.info(f"view {vi}: psnr {p:.2f} ssim {s:.4f}"
+                 + (f" lpips {row['lpips']:.4f}" if lpips_w is not None
+                    else ""))
 
     summary = {
         "views": rows,
         "mean_psnr": round(float(np.mean([r["psnr"] for r in rows])), 3),
         "mean_ssim": round(float(np.mean([r["ssim"] for r in rows])), 4),
     }
+    if rows and "lpips" in rows[0]:
+        summary["mean_lpips"] = round(
+            float(np.mean([r["lpips"] for r in rows])), 4)
     out = args.get("out_json", None)
     if out:
         with open(out, "w") as f:
