@@ -58,6 +58,10 @@ def get_model(args, key=None):
         "learn_indicator_weight": model_args.get(
             "learn_indicator_weight", False),
         "max_candidates": model_args.get("max_candidates", 96),
+        # serving-mode knobs: fused Pallas field kernel + its per-program
+        # sample block (see ops/pallas_kernels.py::field_fused)
+        "use_pallas": model_args.get("use_pallas", False),
+        "pallas_sample_block": model_args.get("pallas_sample_block", 256),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

@@ -444,7 +444,7 @@ class NeuMesh:
         return self._pack_ctx(params, ids, with_features)
 
     def bind_rays_tiled(self, params, rays_o, rays_d, near, far,
-                        tile: int, n_probes: int = 16,
+                        tile: int, n_probes: int = 0,
                         max_candidates=None, with_features: bool = True):
         """Single-phase tile binding: build ONE tile-shared candidate cache
         over [near, far], tighten near/far per ray from the same candidate
@@ -452,6 +452,13 @@ class NeuMesh:
         grid exists, tile <= 1, or the ray count is not a tile multiple."""
         if self.mesh_grid.grid is None or tile <= 1:
             return None
+        if not n_probes:
+            # the tile union covers tile*n_probes staggered depths, so the
+            # per-ray probe count can shrink as tiles grow; every ctx-build
+            # stage (gathers, dedup sort, rank sort) scales with
+            # tile*n_probes*Kp, and 256 union depths keep the probe
+            # spacing far below a grid cell
+            n_probes = int(min(16, max(4, 256 // tile)))
         prefix = rays_o.shape[:-1]
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)
@@ -707,6 +714,14 @@ class RayBoundNeuMesh:
         m = self.model
         if "geo" not in self.ctx:
             self.ctx["geo"] = pack_ctx_geo(self.ctx)
+        if want == "distance":
+            # ds-only fast path: no MLP weights, no feature columns
+            B, C = self.ctx["geo"].shape[0], self.ctx["geo"].shape[2]
+            return field_fused(
+                xyz, self.ctx["geo"], jnp.zeros((B, C, 1), jnp.float32),
+                m.forward_indicator_weight(params), (), want="distance",
+                sample_block=m.pallas_sample_block,
+                interpret=jax.default_backend() != "tpu")
         dws, cws = self._field_weights(params)
         feat = (self.ctx["feat"] if want == "full"
                 else self.ctx["feat"][..., :m.geometry_dim])
@@ -753,9 +768,13 @@ class RayBoundNeuMesh:
 
     def compute_distance(self, params, xyz, K: int = 8):
         """(ds, None, None): callers on the ray-bound path (the renderer's
-        mesh-bounded near/far) consume only ds."""
-        ds, _ = self.model._ctx_distance_parts(
-            params, self.ctx, self._flat(xyz), K)
+        mesh-bounded near/far and the surface-scan fast path) consume
+        only ds."""
+        x = self._flat(xyz)
+        if self.model.use_pallas:
+            out = self._fused_field(params, x, "distance")
+            return self._unflat(out[0][..., None]), None, None
+        ds, _ = self.model._ctx_distance_parts(params, self.ctx, x, K)
         return self._unflat(ds), None, None
 
     def forward_density_only(self, params, xyz):

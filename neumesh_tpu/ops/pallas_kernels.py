@@ -381,6 +381,31 @@ def _emb_parts_with_tangent(x, n_freq: int):
     return parts, dparts
 
 
+def _emb_cols(x, n_freq: int, tangent: bool = False):
+    """x (S, D) -> (S, D*2*n_freq) positional-encoding columns
+    [sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...] (reference
+    models/base.py:52-67 ordering) as ONE broadcasted sin over a tiled
+    copy of x, using cos(z) = sin(z + pi/2). Building the same columns
+    by concatenating per-frequency parts costs a lane relayout per
+    piece — for scalar inputs that is 2*n_freq single-lane slivers.
+
+    tangent=True additionally returns d(cols)/dx = freq*sin(z + pi/2).
+    """
+    import math
+
+    D = x.shape[-1]
+    xt = jnp.concatenate([x] * (2 * n_freq), axis=-1)    # (S, D*2F)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, D * 2 * n_freq), 1)
+    blk = j // D
+    freq = jnp.exp2((blk // 2).astype(jnp.float32))
+    phase = (blk % 2).astype(jnp.float32) * (math.pi / 2.0)
+    z = xt * freq + phase
+    cols = jnp.sin(z)
+    if not tangent:
+        return cols
+    return cols, freq * jnp.sin(z + math.pi / 2.0)
+
+
 def _softplus100(x):
     bx = 100.0 * x
     return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
@@ -435,6 +460,14 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     term = w1 * (xn - vn) + d * d2
     ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)   # (Sblk, 1)
 
+    if want == "distance":
+        # interpolated distance only (surface-scan fast path): no kNN
+        # feature blend, no MLP — ~3x the density throughput. Only row 0
+        # of the output block is written (rows 1-7 stay undefined; the
+        # host slices n_out=1 rows).
+        refs[-1][0, 0:1, :] = ds.T
+        return
+
     if want_nabla:
         A = W * (w1 * inv)
         B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
@@ -461,10 +494,7 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
         return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
                        precision=None if dtype is not None else "highest")
 
-    def dot_rows(a, wref, lo):
-        # first-layer weights are consumed by input-part row slices so the
-        # wide embedding concats are never materialised
-        wm = wref[pl.ds(lo, a.shape[-1]), :]
+    def dot2(a, wm):
         return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
                        precision=None if dtype is not None else "highest")
 
@@ -473,20 +503,23 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     ri += 2 * (n_dens + 1) + 1
     col_ws = refs[ri:ri + 2 * (n_col + 1)] if want == "full" else ()
 
-    # ---- density MLP: pre0 = d_emb @ w0d + fg_emb @ w0f + b0
-    # dens_ws = [w0d, w0f, b0, w1, b1, ..., w_head, b_head]
+    # ---- density MLP: pre0 = [d_emb, fg_emb] @ [w0d; w0f] + b0
+    # dens_ws = [w0d, w0f, b0, w1, b1, ..., w_head, b_head].
+    # One concatenated matmul: every extra operand of a split dot costs a
+    # full 128-deep MXU pass regardless of its K, so 6 small-K dots are
+    # ~3x the cost of one K=177 dot.
     w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
     if want_nabla:
-        demb, ddemb = _emb_parts_with_tangent(ds, multires_d)
-        t = dot(jnp.concatenate(ddemb, axis=-1), w0d)
+        dcols, ddcols = _emb_cols(ds, multires_d, tangent=True)
+        t = dot(jnp.concatenate(
+            [jnp.ones_like(ds), ddcols], axis=-1), w0d)
     else:
-        demb = _emb_parts(ds, multires_d)
-    d_emb = jnp.concatenate(demb, axis=-1)               # (Sblk, 17)
-    pre = dot(d_emb, w0d) + b0[...][0]
-    lo = 0
-    for p in _emb_parts(fg, multires_fg):
-        pre = pre + dot_rows(p, w0f, lo)
-        lo += p.shape[-1]
+        dcols = _emb_cols(ds, multires_d)
+    d_emb = jnp.concatenate([ds, dcols], axis=-1)        # (Sblk, 17)
+    emb0 = jnp.concatenate(
+        [ds, dcols, fg, _emb_cols(fg, multires_fg)], axis=-1)
+    w0 = jnp.concatenate([w0d[...], w0f[...]], axis=0)
+    pre = dot2(emb0, w0) + b0[...][0]
     h = _softplus100(pre)
     if want_nabla:
         t = t * _softplus100_grad(pre)
@@ -525,17 +558,10 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
     vdir = dirs_ref[0].T[:, 0:3]                         # (Sblk, 3)
     cw0, cb0 = col_ws[0], col_ws[1]
-    nab = jnp.concatenate([nx, ny, nz], axis=-1)
-    pre = cb0[...][0] + dot_rows(nab, cw0, 0)
-    lo = 3
-    pre = pre + dot_rows(d_emb, cw0, lo)
-    lo += d_emb.shape[-1]
-    for p in _emb_parts(vdir, multires_view):
-        pre = pre + dot_rows(p, cw0, lo)
-        lo += p.shape[-1]
-    for p in _emb_parts(ft, multires_ft):
-        pre = pre + dot_rows(p, cw0, lo)
-        lo += p.shape[-1]
+    col_in = jnp.concatenate(
+        [nx, ny, nz, d_emb, vdir, _emb_cols(vdir, multires_view),
+         ft, _emb_cols(ft, multires_ft)], axis=-1)       # (Sblk, 207)
+    pre = dot2(col_in, cw0[...]) + cb0[...][0]
     hcol = jnp.maximum(pre, 0.0)
     wi = 2
     for _ in range(n_col - 1):
@@ -616,7 +642,8 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
     xq = t8(xyz)
     feat_t = jnp.swapaxes(feat, 1, 2)                # (B, F, C)
 
-    n_dens = (len(dens_ws) - 3) // 2
+    dens_ws = tuple(dens_ws) if want != "distance" else ()
+    n_dens = (len(dens_ws) - 3) // 2 if dens_ws else 0
     if want == "full":
         assert col_ws is not None and dirs is not None
         n_col = (len(col_ws) - 2) // 2
@@ -626,8 +653,8 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
         n_col = 0
         col_ws = ()
         dq = jnp.zeros((B, 8, 1), jnp.float32)
-    n_out = {"density": 1, "density_nabla": 4, "full": 7}[want]
-    dens_ws = tuple(dens_ws)
+    n_out = {"distance": 1, "density": 1, "density_nabla": 4,
+             "full": 7}[want]
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,

@@ -55,11 +55,17 @@ def root_finding_surface_points(
     method: str = "secant",
     N_secant_steps: int = 8,
     fill_inf: bool = True,
+    refine_query_fn=None,
 ):
     """DVR-style root finding (reference ray_casting.py:45-200).
     Sign convention: (+) outside, (-) inside.
     Returns (d_pred (..., N), pt_pred (..., N, 3), mask, mask_sign_change).
-    """
+
+    refine_query_fn: optional cheaper-scan mode — the N_steps scan runs
+    on surface_query_fn (e.g. the interpolated mesh distance, ~an order
+    of magnitude cheaper than the density MLP) and only the secant
+    refinement evaluates refine_query_fn (the true density), after
+    re-bracketing it at the scan endpoints."""
     prefix = rays_o.shape[:-1]
     near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), prefix)
     far_t = jnp.broadcast_to(jnp.asarray(far, jnp.float32), prefix)
@@ -90,10 +96,35 @@ def root_finding_surface_points(
     d_low = jnp.take_along_axis(d_proposal, idx1[..., None], -1)[..., 0]
     f_low = jnp.take_along_axis(val, idx1[..., None], -1)[..., 0]
 
+    if refine_query_fn is not None:
+        # re-bracket the true field at the proxy-scan endpoints (the
+        # proxy root and the density root sit within the same step when
+        # the density is distilled from the mesh distance); fall back to
+        # the proxy values where the true field does not bracket
+        step = (far_t - near) / max(N_steps - 1, 1)
+        d_high_w = jnp.maximum(d_high - 0.5 * step, near)
+        d_low_w = jnp.minimum(d_low + 0.5 * step, far_t)
+        f_high_r = refine_query_fn(
+            rays_o + d_high_w[..., None] * rays_d) - logit_tau
+        f_low_r = refine_query_fn(
+            rays_o + d_low_w[..., None] * rays_d) - logit_tau
+        ok = (f_high_r > 0) & (f_low_r < 0)
+        f_high = jnp.where(ok, f_high_r, f_high)
+        f_low = jnp.where(ok, f_low_r, f_low)
+        d_high = jnp.where(ok, d_high_w, d_high)
+        d_low = jnp.where(ok, d_low_w, d_low)
+        # secant iterates the true field everywhere; the rare rays whose
+        # density root drifted outside the half-step-widened proxy
+        # bracket keep the proxy endpoints and still converge inside
+        # the scan cell
+        secant_fn = refine_query_fn
+    else:
+        secant_fn = surface_query_fn
+
     if method == "secant":
         d_pred = run_secant_method(
             f_low, f_high, d_low, d_high, rays_o, rays_d,
-            surface_query_fn, N_secant_steps, logit_tau)
+            secant_fn, N_secant_steps, logit_tau)
     else:
         d_pred = jnp.ones(prefix)
 
@@ -138,11 +169,20 @@ def surface_render(
     ray_casting_algo: str = "root_finding",
     ray_casting_cfgs: dict = None,
     rayschunk: int = 0,
+    ray_tile: int = 0,
+    scan_mode: str = "density",
     **not_used_kwargs,
 ):
     """Surface rendering entry (reference ray_casting.py:228-320):
     cast to the zero level set, then query color once per ray.
-    Returns (colors, depths, extras)."""
+    Returns (colors, depths, extras).
+
+    ray_tile > 1 shares one candidate cache across each group of `tile`
+    consecutive rays (coherent camera rays) — larger fused-kernel
+    programs, smaller context build. scan_mode="distance" runs the
+    sign-change scan on the interpolated mesh distance (an order of
+    magnitude cheaper than the density MLP) and reserves the density for
+    the secant refinement."""
     ray_casting_cfgs = dict(ray_casting_cfgs or {})
     shape = rays_o.shape
     rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
@@ -153,8 +193,17 @@ def surface_render(
     near, far = near_far_from_sphere(rays_o, rays_d, keepdim=False)
     # ray-context fast path: tighten [near, far] to the mesh-covered
     # segment (closed form over raw candidates) and answer every surface
-    # query from the per-ray candidate cache
-    if hasattr(model, "bind_rays") and hasattr(model, "make_ray_context"):
+    # query from the per-ray/tile candidate cache
+    if (ray_tile and ray_tile > 1 and hasattr(model, "bind_rays_tiled")
+            and rays_o.shape[0] % ray_tile == 0):
+        tb = model.bind_rays_tiled(
+            params, rays_o, rays_d, near[:, None], far[:, None],
+            tile=ray_tile)
+        if tb is not None:
+            bound, near_b, far_b = tb
+            model = bound
+            near, far = near_b[:, 0], far_b[:, 0]
+    elif hasattr(model, "bind_rays") and hasattr(model, "make_ray_context"):
         from ..models.neumesh.model import candidate_bounded_near_far
         pre_ctx = model.make_ray_context(
             params, rays_o, rays_d, near[:, None], far[:, None],
@@ -176,9 +225,20 @@ def surface_render(
                 params, pts[:, None, :])[..., 0]
         return model.forward_density_only(params, pts)
 
+    refine_fn = None
+    scan_fn = query_fn
+    if scan_mode == "distance" and hasattr(model, "compute_distance"):
+        def scan_fn(pts):
+            if pts.ndim == 2:
+                pts = pts[:, None, :]
+                return model.compute_distance(params, pts)[0][..., 0, 0]
+            return model.compute_distance(params, pts)[0][..., 0]
+        refine_fn = query_fn
+
     if ray_casting_algo == "root_finding":
         d_pred, pt_pred, mask, _ = root_finding_surface_points(
-            query_fn, rays_o, rays_d, **ray_casting_cfgs)
+            scan_fn, rays_o, rays_d, refine_query_fn=refine_fn,
+            **ray_casting_cfgs)
     elif ray_casting_algo == "sphere_tracing":
         d_pred, pt_pred, mask = sphere_tracing_surface_points(
             query_fn, rays_o, rays_d,

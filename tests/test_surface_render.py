@@ -176,3 +176,75 @@ def test_surface_render_neumesh_ctx():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(c_g)[hit], np.asarray(c_b)[hit],
                                atol=5e-3)
+
+
+class _ProxyModel(SphereModel):
+    """Density = shifted sphere SDF; compute_distance = unshifted proxy.
+    scan_mode="distance" must converge to the DENSITY root (r=0.52), not
+    the proxy root (r=0.5)."""
+
+    SHIFT = 0.02
+
+    def forward_density_only(self, params, x):
+        return jnp.linalg.norm(x, axis=-1) - 0.5 - self.SHIFT
+
+    def compute_distance(self, params, x, K=8):
+        return (jnp.linalg.norm(x, axis=-1, keepdims=True) - 0.5,
+                None, None)
+
+
+def test_distance_scan_refines_on_density():
+    model = _ProxyModel()
+    o, d = rays(16)
+    colors, depths, extras = surface_render(
+        model, {}, o, d, scan_mode="distance",
+        ray_casting_cfgs={"N_steps": 64, "near": 0.0, "far": 6.0})
+    t, hit = analytic_hit(o, d, r=0.52)
+    mask = np.asarray(extras["mask_surface"])
+    assert (mask == hit).all()
+    np.testing.assert_allclose(np.asarray(depths)[hit], t[hit], atol=1e-3)
+    radii = np.linalg.norm(
+        np.asarray(o + depths[..., None] * d)[hit], axis=-1)
+    np.testing.assert_allclose(radii, 0.52, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_surface_render_neumesh_tiled_matches_untiled():
+    """ray_tile shares candidate caches across ray groups; depths/colors
+    must match the per-ray binding."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    m = NeuMesh(MeshGrid(mesh, distance_method="grid"), **kw)
+    params = m.init(jax.random.PRNGKey(0))
+
+    o, d = rays(16)
+    cfgs = {"N_steps": 64, "fill_inf": False}
+    wrapper = _DistanceFieldModel(m)
+    wrapper.bind_rays_tiled = (
+        lambda params, *a, **k:
+        _wrap_tiled(m.bind_rays_tiled(params, *a, **k)))
+    c_u, d_u, ex_u = surface_render(wrapper, params, o, d,
+                                    ray_casting_cfgs=dict(cfgs))
+    c_t, d_t, ex_t = surface_render(wrapper, params, o, d, ray_tile=4,
+                                    ray_casting_cfgs=dict(cfgs))
+    hit = np.asarray(ex_u["mask_surface"]) & np.asarray(ex_t["mask_surface"])
+    assert hit.mean() > 0.8
+    np.testing.assert_allclose(np.asarray(d_t)[hit], np.asarray(d_u)[hit],
+                               atol=2e-3)
+
+
+def _wrap_tiled(tb):
+    if tb is None:
+        return None
+    bound, near, far = tb
+    return _DistanceFieldModel._Bound(bound), near, far

@@ -25,10 +25,16 @@ def build(use_pallas, sblk=256):
     return model, params
 
 def rays(n):
-    key = jax.random.PRNGKey(1)
+    """Coherent camera-grid rays (scanline order), the workload tiled ray
+    contexts serve in practice; sqrt(n) x sqrt(n) image of the sphere."""
+    import numpy as _np
+    side = int(_np.sqrt(n))
+    assert side * side == n, "n must be a square for the image grid"
+    ang = _np.linspace(-0.2, 0.2, side, dtype=_np.float32)
+    ay, ax = _np.meshgrid(ang, ang, indexing="ij")
     rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]], jnp.float32), (n, 1))
-    ang = jax.random.uniform(key, (n, 2), minval=-0.2, maxval=0.2)
-    rays_d = jnp.concatenate([ang, jnp.ones((n, 1))], -1)
+    rays_d = jnp.asarray(
+        _np.stack([ax.ravel(), ay.ravel(), _np.ones(n, _np.float32)], -1))
     return rays_o, rays_d
 
 def bench(model, params, n, iters=10, tile=0):

@@ -1,0 +1,62 @@
+"""Device-trace the fused render and aggregate device time by source line
+(axon profiling recipe: parse vm.trace.json.gz directly)."""
+import glob, gzip, json, os, sys, collections
+import jax, jax.numpy as jnp
+cache_dir = os.path.expanduser('~/.cache/neumesh_tpu_jax')
+jax.config.update('jax_compilation_cache_dir', cache_dir)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.bench_sweep import build, rays
+from neumesh_tpu.render.volume import volume_render_rays
+import time
+
+tile = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+sblk = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
+use_pallas = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+model, params = build(bool(use_pallas), sblk)
+o, d = rays(n)
+
+@jax.jit
+def render(params, o, d):
+    return volume_render_rays(model, params, o, d, jax.random.PRNGKey(0),
+        detailed_output=False, perturb=False, bounded_near_far=True,
+        N_samples=64, N_importance=64, N_upsample_iters=4,
+        reuse_upsample_sdf=True, ray_tile=tile)['rgb']
+
+render(params, o, d).block_until_ready()
+t0=time.perf_counter()
+for _ in range(5):
+    out = render(params, o, d)
+out.block_until_ready()
+wall=(time.perf_counter()-t0)/5
+print(f"wall per iter: {wall*1000:.1f} ms, {n/wall/1e6:.4f} Mrays/s")
+
+trace_dir = "/tmp/jaxtrace"
+os.system(f"rm -rf {trace_dir}")
+jax.profiler.start_trace(trace_dir)
+render(params, o, d).block_until_ready()
+jax.profiler.stop_trace()
+
+files = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+ev = []
+for f in files:
+    with gzip.open(f) as fh:
+        data = json.load(fh)
+    pid_dev = [p["pid"] for p in data.get("traceEvents", []) if p.get("ph")=="M"
+               and p.get("name")=="process_name"
+               and "TPU" in str(p.get("args",{}).get("name",""))]
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and e.get("pid") in pid_dev:
+            ev.append(e)
+agg = collections.Counter()
+total = 0.0
+for e in ev:
+    src = e.get("args", {}).get("source", e.get("name", "?"))
+    agg[src] += e.get("dur", 0)
+    total += e.get("dur", 0)
+print(f"total device us: {total:.0f}")
+for src, dur in agg.most_common(18):
+    print(f"{dur/1e3:9.2f} ms  {dur/max(total,1)*100:5.1f}%  {src}")

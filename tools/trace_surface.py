@@ -1,0 +1,60 @@
+"""Device-trace surface_render; aggregate device time by source line."""
+import glob, gzip, json, os, sys, collections, time
+import jax, jax.numpy as jnp
+cache_dir = os.path.expanduser('~/.cache/neumesh_tpu_jax')
+jax.config.update('jax_compilation_cache_dir', cache_dir)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.bench_sweep import build, rays
+from neumesh_tpu.render.ray_casting import surface_render
+
+tile = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+scan = sys.argv[4] if len(sys.argv) > 4 else "distance"
+
+model, params = build(True, 512)
+o, d = rays(n)
+
+@jax.jit
+def render(params, o, d):
+    c, dep, ex = surface_render(
+        model, params, o, d, ray_tile=tile, scan_mode=scan,
+        ray_casting_cfgs={"N_steps": steps})
+    return c
+
+render(params, o, d).block_until_ready()
+t0=time.perf_counter()
+for _ in range(5):
+    out = render(params, o, d)
+out.block_until_ready()
+wall=(time.perf_counter()-t0)/5
+print(f"wall: {wall*1000:.1f} ms, {n/wall/1e6:.4f} Mrays/s", flush=True)
+
+trace_dir = "/tmp/jaxtrace_s"
+os.system(f"rm -rf {trace_dir}")
+jax.profiler.start_trace(trace_dir)
+render(params, o, d).block_until_ready()
+jax.profiler.stop_trace()
+
+files = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+ev = []
+for f in files:
+    with gzip.open(f) as fh:
+        data = json.load(fh)
+    pid_dev = [p["pid"] for p in data.get("traceEvents", []) if p.get("ph")=="M"
+               and p.get("name")=="process_name"
+               and "TPU" in str(p.get("args",{}).get("name",""))]
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and e.get("pid") in pid_dev:
+            ev.append(e)
+agg = collections.Counter()
+total = 0.0
+for e in ev:
+    src = e.get("args", {}).get("source", e.get("name", "?"))
+    agg[src] += e.get("dur", 0)
+    total += e.get("dur", 0)
+print(f"total device us: {total:.0f}")
+for src, dur in agg.most_common(20):
+    print(f"{dur/1e3:9.2f} ms  {dur/max(total,1)*100:5.1f}%  {src}")
