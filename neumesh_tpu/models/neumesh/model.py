@@ -458,7 +458,7 @@ class NeuMesh:
             # stage (gathers, dedup sort, rank sort) scales with
             # tile*n_probes*Kp, and 256 union depths keep the probe
             # spacing far below a grid cell
-            n_probes = int(min(16, max(4, 256 // tile)))
+            n_probes = int(min(16, max(2, 256 // tile)))
         prefix = rays_o.shape[:-1]
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)

@@ -210,12 +210,16 @@ def make_surface_render_fn(args, model):
     from neumesh_tpu.render.ray_casting import surface_render
 
     cfgs = {"N_steps": args.get("surface_steps", 128) or 128,
+            "N_secant_steps": args.get("surface_secant_steps", 8) or 8,
             "fill_inf": False}
+    tile = args.get("surface_ray_tile", 0) or 0
+    scan_mode = args.get("surface_scan", "density") or "density"
 
     @functools.lru_cache(maxsize=4)
     def _jitted(chunk):
         def f(params, ro, rd):
             return surface_render(model, params, ro, rd, calc_normal=True,
+                                  ray_tile=tile, scan_mode=scan_mode,
                                   ray_casting_cfgs=dict(cfgs))
         return jax.jit(f)
 
@@ -274,6 +278,20 @@ def create_render_args(parser):
         "--surface_steps", type=int, default=128,
         help="surface mode: sign-change scan steps over the mesh-bounded "
              "interval")
+    parser.add_argument(
+        "--surface_secant_steps", type=int, default=8,
+        help="surface mode: secant refinement iterations")
+    parser.add_argument(
+        "--surface_ray_tile", type=int, default=0,
+        help="surface mode: share one candidate cache across this many "
+             "consecutive rays (coherent camera rays; the bench.py "
+             "throughput configuration uses 128)")
+    parser.add_argument(
+        "--surface_scan", type=str, default="density",
+        choices=["density", "distance"],
+        help="surface mode: field for the sign-change scan; 'distance' "
+             "scans the interpolated mesh distance and refines on the "
+             "density (the fast configuration)")
     parser.add_argument(
         "--camera_inds", type=str, default=None,
         help="comma-separated dataset view indices to render instead of the "

@@ -248,3 +248,20 @@ def _wrap_tiled(tb):
         return None
     bound, near, far = tb
     return _DistanceFieldModel._Bound(bound), near, far
+
+
+def test_fast_config_depth_accuracy():
+    """The throughput configuration (short scan + 6 secant steps on the
+    distance proxy) must still localise the surface to sub-millimeter
+    accuracy on the analytic sphere — the quality gate for making surface
+    mode the fast render path."""
+    model = _ProxyModel()
+    o, d = rays(64)
+    _, depths, extras = surface_render(
+        model, {}, o, d, scan_mode="distance",
+        ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6,
+                          "near": 0.0, "far": 6.0})
+    t, hit = analytic_hit(o, d, r=0.52)
+    mask = np.asarray(extras["mask_surface"])
+    assert (mask == hit).all()
+    np.testing.assert_allclose(np.asarray(depths)[hit], t[hit], atol=5e-4)

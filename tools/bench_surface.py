@@ -17,6 +17,7 @@ if __name__ == "__main__":
     ap.add_argument("--sblk", type=int, default=512)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--scan", default="distance")
+    ap.add_argument("--secant", type=int, default=8)
     ap.add_argument("--n", type=int, default=65536)
     args = ap.parse_args()
     model, params = build(bool(args.pallas), args.sblk)
@@ -26,7 +27,8 @@ if __name__ == "__main__":
     def render(params, o, d):
         c, dep, ex = surface_render(
             model, params, o, d, ray_tile=args.tile, scan_mode=args.scan,
-            ray_casting_cfgs={"N_steps": args.steps})
+            ray_casting_cfgs={"N_steps": args.steps,
+                              "N_secant_steps": args.secant})
         return c, dep
 
     c, dep = render(params, o, d)
