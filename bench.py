@@ -46,14 +46,22 @@ def main():
 
     model, params = build(use_pallas=True, sblk=512)
 
-    # ---- headline: surface mode, 65536 coherent rays
+    # ---- headline: surface mode, 65536 coherent rays grouped into
+    # 8x16 pixel blocks (the tile-shared candidate caches need compact
+    # ray bundles; quality-gated on the trained synthetic scene at
+    # +0.2 dB vs the bf16 volume path, tools/quality_gate.py)
     n_surf = 65536
     o_s, d_s = rays(n_surf)
+    from neumesh_tpu.ops.rays import block_order_indices
+    side = int(n_surf ** 0.5)
+    perm, _ = block_order_indices(side, side, 8, 16)
+    o_s, d_s = o_s[perm], d_s[perm]
 
     @jax.jit
     def render_surface(params, o, d):
         c, dep, _ = surface_render(
             model, params, o, d, ray_tile=128, scan_mode="distance",
+            tile_max_candidates=256,
             ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
         return c
 

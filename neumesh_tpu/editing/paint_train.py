@@ -141,7 +141,8 @@ def main_function(args):
             key, k_step = jax.random.split(key)
             params, opt_state, total, scalars = train_step(
                 params, opt_state, model_input, ground_truth, k_step,
-                teacher_params, grad_mask=grad_mask)
+                teacher_params, grad_mask=grad_mask,
+                mesh_bufs=model.mesh_grid.device_buffers())
             it += 1
             if it % args.training.get("i_log", 20) == 0:
                 log.info(f"it {it}/{num_iters} loss {float(total):.4f} "

@@ -42,6 +42,46 @@ class MeshGrid:
         return int(self.vertices.shape[0])
 
     # ------------------------------------------------------------------
+    def device_buffers(self) -> dict:
+        """Pytree of the large device tables, for passing as jit
+        ARGUMENTS. Closed-over jnp arrays embed as constants in the
+        serialized program; at production mesh sizes (100k+ vertices)
+        the program exceeds remote-compile upload limits and recompiles
+        for every mesh. Pass this dict into a step jitted with
+        `bound_buffers` instead."""
+        bufs = {"vertices": self.vertices,
+                "vertex_normals": self.vertex_normals}
+        if self.grid is not None:
+            bufs["cand_idx"] = self.grid.cand_idx
+        return bufs
+
+    def bound_buffers(self, bufs):
+        """Context manager swapping the large tables for `bufs` (tracers
+        during trace); restores the originals on exit so the model object
+        never retains tracers. No-op when bufs is None."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def cm():
+            if bufs is None:
+                yield self
+                return
+            old = (self.vertices, self.vertex_normals,
+                   self.grid.cand_idx if self.grid is not None else None)
+            self.vertices = bufs["vertices"]
+            self.vertex_normals = bufs["vertex_normals"]
+            if self.grid is not None and "cand_idx" in bufs:
+                self.grid.cand_idx = bufs["cand_idx"]
+            try:
+                yield self
+            finally:
+                self.vertices, self.vertex_normals = old[0], old[1]
+                if self.grid is not None and old[2] is not None:
+                    self.grid.cand_idx = old[2]
+
+        return cm()
+
+    # ------------------------------------------------------------------
     def knn(self, xyz: jnp.ndarray, K: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(..., 3) -> stop-gradient (sq_dist (..., K), indices (..., K))."""
         x = jax.lax.stop_gradient(xyz)

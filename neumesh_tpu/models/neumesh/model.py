@@ -766,6 +766,28 @@ class RayBoundNeuMesh:
         nabla = dD_dh * dh
         return density, nabla, d_emb, ft
 
+    def fused_secant(self, params, rays_o, rays_d, d_low, d_high,
+                     f_low, f_high, n_iters: int = 6,
+                     logit_tau: float = 0.0):
+        """All secant iterations of the surface-render refinement in one
+        kernel launch (ops/pallas_kernels.py::secant_refine); rays must
+        be in binding order. Returns d_pred (R,)."""
+        from ...ops.pallas_kernels import pack_ctx_geo, secant_refine
+        m = self.model
+        if "geo" not in self.ctx:
+            self.ctx["geo"] = pack_ctx_geo(self.ctx)
+        dws, _ = self._field_weights(params)
+        return secant_refine(
+            rays_o, rays_d, d_low, d_high, f_low, f_high,
+            self.ctx["geo"], self.ctx["feat"][..., :m.geometry_dim],
+            m.forward_indicator_weight(params), dws, n_iters=n_iters,
+            multires_d=m.embed_fn_d.multires,
+            multires_fg=m.embed_fn_fg.multires,
+            geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
+            tile=rays_o.shape[0] // self.ctx["geo"].shape[0],
+            logit_tau=logit_tau,
+            interpret=jax.default_backend() != "tpu")
+
     def compute_distance(self, params, xyz, K: int = 8):
         """(ds, None, None): callers on the ray-bound path (the renderer's
         mesh-bounded near/far and the surface-scan fast path) consume

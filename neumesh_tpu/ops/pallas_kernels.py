@@ -416,27 +416,13 @@ def _softplus100_grad(x):
     return jnp.where(bx > 20.0, 1.0, jax.nn.sigmoid(bx))
 
 
-def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
-                  k: int, n_dens: int, n_col: int, want: str,
-                  multires_d: int, multires_fg: int, multires_ft: int,
-                  multires_view: int, geometry_dim: int, dtype):
-    """refs = [dens weights..., color weights..., out rows...].
-
-    xyz/dirs arrive TRANSPOSED as (8, Sblk) blocks (samples on the
-    128-lane dim) and outputs leave as (1, Sblk) rows: a (B, S, 3)
-    f32 operand/result of a TPU custom call is tiled T(8, 128) on its
-    last two dims — a 43x memory/bandwidth blowup that OOMs large ray
-    batches. The (8, Sblk)->(Sblk, 8) transposes here are exact
-    in-register relayouts."""
-    w1 = w1_ref[0]
-    x = xyz_ref[0].T                                 # (Sblk, 8)
-    geo = geo_ref[0]                                 # (8, C)
-    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+def _interp_distance(x0, x1, x2, geo, w1, k: int, want_dh: bool):
+    """In-kernel interpolated-distance chain on (Sblk, 1) point columns
+    against an (8, C) context block. Returns (ds, W[, dh cols])."""
     px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
     ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
     pp, vn = geo[6:7, :], geo[7:8, :]
     C = geo.shape[1]
-    want_nabla = want in ("density_nabla", "full")
 
     xv = x0 * px + x1 * py + x2 * pz
     xx = x0 * x0 + x1 * x1 + x2 * x2
@@ -459,22 +445,99 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     inv = 1.0 / (w1 + d)
     term = w1 * (xn - vn) + d * d2
     ds = jnp.sum(W * term * inv, axis=-1, keepdims=True)   # (Sblk, 1)
+    if not want_dh:
+        return ds, W
+    A = W * (w1 * inv)
+    B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
+    sB = jnp.sum(B, axis=-1, keepdims=True)
+    dhx = jnp.sum(A * ix - B * px, axis=-1, keepdims=True) + sB * x0
+    dhy = jnp.sum(A * iy - B * py, axis=-1, keepdims=True) + sB * x1
+    dhz = jnp.sum(A * iz - B * pz, axis=-1, keepdims=True) + sB * x2
+    return ds, W, (dhx, dhy, dhz)
+
+
+def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
+                 want_tangent: bool):
+    """In-kernel density MLP on interpolated inputs. Returns
+    (dens, d_emb[, dD/dh tangent]).
+
+    One concatenated first-layer matmul: every extra operand of a split
+    dot costs a full 128-deep MXU pass regardless of its K, so 6 small-K
+    dots are ~3x the cost of one K=177 dot."""
+    def cast(a):
+        return a if dtype is None else a.astype(dtype)
+
+    def dot(a, wm):
+        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
+                       precision=None if dtype is not None else "highest")
+
+    # materialise the weight refs once (callers may pass Refs or
+    # values; [...] is the identity on plain arrays, and Ref tracers
+    # masquerade as jnp arrays so isinstance cannot tell them apart)
+    dens_ws = tuple(w[...] for w in dens_ws)
+    n_dens = (len(dens_ws) - 3) // 2
+    w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
+    if want_tangent:
+        dcols, ddcols = _emb_cols(ds, multires_d, tangent=True)
+        t = dot(jnp.concatenate([jnp.ones_like(ds), ddcols], axis=-1),
+                w0d)
+    else:
+        dcols = _emb_cols(ds, multires_d)
+    d_emb = jnp.concatenate([ds, dcols], axis=-1)        # (Sblk, 17)
+    emb0 = jnp.concatenate(
+        [ds, dcols, fg, _emb_cols(fg, multires_fg)], axis=-1)
+    w0 = jnp.concatenate([w0d, w0f], axis=0)
+    pre = dot(emb0, w0) + b0[0]
+    h = _softplus100(pre)
+    if want_tangent:
+        t = t * _softplus100_grad(pre)
+    wi = 3
+    for _ in range(n_dens - 1):
+        wl, bl = dens_ws[wi], dens_ws[wi + 1]
+        wi += 2
+        pre = dot(h, wl) + bl[0]
+        h = _softplus100(pre)
+        if want_tangent:
+            t = dot(t, wl) * _softplus100_grad(pre)
+    wh, bh = dens_ws[wi], dens_ws[wi + 1]
+    dens = (dot(h, wh) + bh[0]).astype(jnp.float32)  # (Sblk, 1)
+    if not want_tangent:
+        return dens, d_emb
+    return dens, d_emb, dot(t, wh).astype(jnp.float32)
+
+
+def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
+                  k: int, n_dens: int, n_col: int, want: str,
+                  multires_d: int, multires_fg: int, multires_ft: int,
+                  multires_view: int, geometry_dim: int, dtype):
+    """refs = [dens weights..., color weights..., out rows...].
+
+    xyz/dirs arrive TRANSPOSED as (8, Sblk) blocks (samples on the
+    128-lane dim) and outputs leave as (1, Sblk) rows: a (B, S, 3)
+    f32 operand/result of a TPU custom call is tiled T(8, 128) on its
+    last two dims — a 43x memory/bandwidth blowup that OOMs large ray
+    batches. The (8, Sblk)->(Sblk, 8) transposes here are exact
+    in-register relayouts."""
+    w1 = w1_ref[0]
+    x = xyz_ref[0].T                                 # (Sblk, 8)
+    geo = geo_ref[0]                                 # (8, C)
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    want_nabla = want in ("density_nabla", "full")
 
     if want == "distance":
         # interpolated distance only (surface-scan fast path): no kNN
         # feature blend, no MLP — ~3x the density throughput. Only row 0
         # of the output block is written (rows 1-7 stay undefined; the
         # host slices n_out=1 rows).
+        ds, _ = _interp_distance(x0, x1, x2, geo, w1, k, False)
         refs[-1][0, 0:1, :] = ds.T
         return
 
     if want_nabla:
-        A = W * (w1 * inv)
-        B = W * (3.0 * d2 * (w1 + d) - term) * inv * inv / d
-        sB = jnp.sum(B, axis=-1, keepdims=True)
-        dhx = jnp.sum(A * ix - B * px, axis=-1, keepdims=True) + sB * x0
-        dhy = jnp.sum(A * iy - B * py, axis=-1, keepdims=True) + sB * x1
-        dhz = jnp.sum(A * iz - B * pz, axis=-1, keepdims=True) + sB * x2
+        ds, W, (dhx, dhy, dhz) = _interp_distance(
+            x0, x1, x2, geo, w1, k, True)
+    else:
+        ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
 
     # kNN feature blend: one MXU matmul against the context features,
     # contracting the trailing C dim of both operands (feat is stored
@@ -489,11 +552,6 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     def cast(a):
         return a if dtype is None else a.astype(dtype)
 
-    def dot(a, wref):
-        wm = wref[...]
-        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
-                       precision=None if dtype is not None else "highest")
-
     def dot2(a, wm):
         return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
                        precision=None if dtype is not None else "highest")
@@ -503,40 +561,13 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     ri += 2 * (n_dens + 1) + 1
     col_ws = refs[ri:ri + 2 * (n_col + 1)] if want == "full" else ()
 
-    # ---- density MLP: pre0 = [d_emb, fg_emb] @ [w0d; w0f] + b0
-    # dens_ws = [w0d, w0f, b0, w1, b1, ..., w_head, b_head].
-    # One concatenated matmul: every extra operand of a split dot costs a
-    # full 128-deep MXU pass regardless of its K, so 6 small-K dots are
-    # ~3x the cost of one K=177 dot.
-    w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
     if want_nabla:
-        dcols, ddcols = _emb_cols(ds, multires_d, tangent=True)
-        t = dot(jnp.concatenate(
-            [jnp.ones_like(ds), ddcols], axis=-1), w0d)
-    else:
-        dcols = _emb_cols(ds, multires_d)
-    d_emb = jnp.concatenate([ds, dcols], axis=-1)        # (Sblk, 17)
-    emb0 = jnp.concatenate(
-        [ds, dcols, fg, _emb_cols(fg, multires_fg)], axis=-1)
-    w0 = jnp.concatenate([w0d[...], w0f[...]], axis=0)
-    pre = dot2(emb0, w0) + b0[...][0]
-    h = _softplus100(pre)
-    if want_nabla:
-        t = t * _softplus100_grad(pre)
-    wi = 3
-    for _ in range(n_dens - 1):
-        wl, bl = dens_ws[wi], dens_ws[wi + 1]
-        wi += 2
-        pre = dot(h, wl) + bl[...][0]
-        h = _softplus100(pre)
-        if want_nabla:
-            t = dot(t, wl) * _softplus100_grad(pre)
-    wh, bh = dens_ws[wi], dens_ws[wi + 1]
-    dens = dot(h, wh) + bh[...][0]                       # (Sblk, 1)
-    dens = dens.astype(jnp.float32)
-    if want_nabla:
-        dDdh = dot(t, wh).astype(jnp.float32)            # (Sblk, 1)
+        dens, d_emb, dDdh = _density_mlp(
+            ds, fg, dens_ws, multires_d, multires_fg, dtype, True)
         nx, ny, nz = dDdh * dhx, dDdh * dhy, dDdh * dhz
+    else:
+        dens, d_emb = _density_mlp(
+            ds, fg, dens_ws, multires_d, multires_fg, dtype, False)
 
     def emit(cols):
         # stack the (Sblk, 1) result columns and transpose once to the
@@ -567,9 +598,9 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     for _ in range(n_col - 1):
         wl, bl = col_ws[wi], col_ws[wi + 1]
         wi += 2
-        hcol = jnp.maximum(dot(hcol, wl) + bl[...][0], 0.0)
+        hcol = jnp.maximum(dot2(hcol, wl[...]) + bl[...][0], 0.0)
     cwh, cbh = col_ws[wi], col_ws[wi + 1]
-    rgb = jax.nn.sigmoid((dot(hcol, cwh)
+    rgb = jax.nn.sigmoid((dot2(hcol, cwh[...])
                           + cbh[...][0]).astype(jnp.float32))
     emit([dens, nx, ny, nz,
           rgb[:, 0:1], rgb[:, 1:2], rgb[:, 2:3]])
@@ -690,3 +721,122 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
         interpret=interpret,
     )(w1_arr, xq, dq, geo, feat_t, *dens_ws, *col_ws)
     return [out[:, i, :S0] for i in range(n_out)]
+
+
+# ---------------------------------------------------------------------------
+# Fused secant refinement: all N secant iterations of the surface-render
+# root refinement in ONE kernel program per ray tile. The alternative —
+# one host-level field_fused call per iteration — launches B programs of
+# `tile` samples per iteration, and the per-program fixed cost dominated
+# the refinement (~1/4 of the surface frame).
+# ---------------------------------------------------------------------------
+
+
+def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
+                   k: int, n_iters: int, multires_d: int, multires_fg: int,
+                   geometry_dim: int, dtype, logit_tau: float):
+    """od rows: [ox oy oz dx dy dz 0 0]; br rows: [d_low d_high f_low
+    f_high 0 0 0 0]; refs = [dens weights..., out]. Mirrors
+    render.ray_casting.run_secant_method exactly."""
+    w1 = w1_ref[0]
+    od = od_ref[0].T                                   # (T, 8)
+    o0, o1, o2 = od[:, 0:1], od[:, 1:2], od[:, 2:3]
+    r0, r1, r2 = od[:, 3:4], od[:, 4:5], od[:, 5:6]
+    br = br_ref[0].T
+    d_low, d_high = br[:, 0:1], br[:, 1:2]
+    f_low, f_high = br[:, 2:3], br[:, 3:4]
+    geo = geo_ref[0]
+    dens_ws = refs[:-1]
+
+    def pred():
+        denom = f_high - f_low
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return -f_low * (d_high - d_low) / denom + d_low
+
+    d_pred = pred()
+    for _ in range(n_iters):
+        x0 = o0 + d_pred * r0
+        x1 = o1 + d_pred * r1
+        x2 = o2 + d_pred * r2
+        ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
+        fg = jax.lax.dot_general(
+            W, feat_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision="highest")[:, :geometry_dim]
+        f_mid, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
+                                dtype, False)
+        f_mid = f_mid - logit_tau
+        ind_low = f_mid < 0
+        d_low = jnp.where(ind_low, d_pred, d_low)
+        f_low = jnp.where(ind_low, f_mid, f_low)
+        d_high = jnp.where(~ind_low, d_pred, d_high)
+        f_high = jnp.where(~ind_low, f_mid, f_high)
+        d_pred = pred()
+    refs[-1][0, 0:1, :] = d_pred.T
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "n_iters", "multires_d", "multires_fg", "geometry_dim", "dtype",
+    "tile", "logit_tau", "interpret"))
+def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
+                  w1, dens_ws, *, n_iters: int = 6, k: int = 8,
+                  multires_d: int = 8, multires_fg: int = 2,
+                  geometry_dim: int = 32, dtype=None, tile: int = 1,
+                  logit_tau: float = 0.0, interpret: bool = False):
+    """Fused secant root refinement (see _secant_kernel).
+
+    rays_o/d: (R, 3) with consecutive rays grouped into `tile`-ray groups
+    matching `geo`/`feat` (B = R//tile contexts, as built by
+    make_tile_context; tile=1 for per-ray contexts); d/f brackets: (R,).
+    Returns d_pred (R,)."""
+    R = rays_o.shape[0]
+    B = geo.shape[0]
+    T = R // B
+    C = geo.shape[2]
+    cpad = (-C) % 128
+    if cpad:
+        fill = jnp.zeros((B, 8, cpad), jnp.float32)
+        fill = fill.at[:, 6, :].set(1e12)
+        geo = jnp.concatenate([geo, fill], axis=2)
+        feat = jnp.pad(feat, ((0, 0), (0, cpad), (0, 0)))
+
+    def rows8(cols):
+        """list of (R,) -> (B, 8, T)."""
+        m = jnp.stack(cols, axis=-1)                     # (R, n)
+        m = jnp.pad(m, ((0, 0), (0, 8 - m.shape[-1])))
+        return jnp.swapaxes(m.reshape(B, T, 8), 1, 2)
+
+    od = rows8([rays_o[:, 0], rays_o[:, 1], rays_o[:, 2],
+                rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]])
+    br = rows8([d_low, d_high, f_low, f_high])
+    w1_arr = jnp.full((1,), w1, jnp.float32)
+    dens_ws = tuple(dens_ws)
+    feat_t = jnp.swapaxes(feat, 1, 2)                    # (B, F, C)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _secant_kernel, k=k, n_iters=n_iters, multires_d=multires_d,
+            multires_fg=multires_fg, geometry_dim=geometry_dim,
+            dtype=dtype, logit_tau=logit_tau),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, C + cpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feat.shape[-1], C + cpad),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] + [const_spec(a) for a in dens_ws],
+        out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, T), jnp.float32),
+        interpret=interpret,
+    )(w1_arr, od, br, geo, feat_t, *dens_ws)
+    return out[:, 0, :].reshape(R)

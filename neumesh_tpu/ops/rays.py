@@ -195,3 +195,22 @@ def lin2img(x, H: int, W: int, batched: bool = False, B=None):
             x = x.reshape(B, n // B, c)
         return jnp.transpose(x, (0, 2, 1)).reshape(B, c, H, W)
     return jnp.transpose(x, (1, 0)).reshape(c, H, W)
+
+
+def block_order_indices(H: int, W: int, block_h: int = 8,
+                        block_w: int = 16):
+    """(perm, inv_perm) flattened-ray permutations that group pixels into
+    block_h x block_w image tiles (row-major within a block, blocks in
+    row-major order). Tile-shared candidate caches need COMPACT ray
+    bundles: `tile` consecutive scanline rays span a whole image row,
+    whose candidate union cannot fit a fixed-size cache, while a pixel
+    block covers a narrow frustum. H/W must be multiples of the block."""
+    import numpy as np
+
+    assert H % block_h == 0 and W % block_w == 0, (H, W, block_h, block_w)
+    idx = np.arange(H * W).reshape(H, W)
+    blocks = idx.reshape(H // block_h, block_h, W // block_w, block_w)
+    perm = blocks.transpose(0, 2, 1, 3).reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(H * W)
+    return perm, inv

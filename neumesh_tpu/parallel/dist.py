@@ -65,8 +65,13 @@ def init_env(args=None, seed: int = 42):
 
     explicit = any(v in os.environ for v in (
         "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS"))
-    slurm = slurm_coordinator_spec(
-        port=getattr(args, "port", None) if args is not None else None)
+    port = None
+    if args is not None:
+        # ConfigDict raises KeyError (not AttributeError) for missing
+        # keys, so getattr(args, "port", None) would crash
+        get = getattr(args, "get", None)
+        port = get("port", None) if callable(get) else None
+    slurm = slurm_coordinator_spec(port=port)
     if (explicit or slurm) and not _initialized:
         import jax
         if explicit or slurm is None:

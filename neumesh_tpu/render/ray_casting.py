@@ -56,6 +56,7 @@ def root_finding_surface_points(
     N_secant_steps: int = 8,
     fill_inf: bool = True,
     refine_query_fn=None,
+    secant_override=None,
 ):
     """DVR-style root finding (reference ray_casting.py:45-200).
     Sign convention: (+) outside, (-) inside.
@@ -121,7 +122,11 @@ def root_finding_surface_points(
     else:
         secant_fn = surface_query_fn
 
-    if method == "secant":
+    if method == "secant" and secant_override is not None:
+        # fused refinement: all iterations in one kernel launch
+        d_pred = secant_override(f_low, f_high, d_low, d_high,
+                                 N_secant_steps, logit_tau)
+    elif method == "secant":
         d_pred = run_secant_method(
             f_low, f_high, d_low, d_high, rays_o, rays_d,
             secant_fn, N_secant_steps, logit_tau)
@@ -171,6 +176,7 @@ def surface_render(
     rayschunk: int = 0,
     ray_tile: int = 0,
     scan_mode: str = "density",
+    tile_max_candidates=None,
     **not_used_kwargs,
 ):
     """Surface rendering entry (reference ray_casting.py:228-320):
@@ -198,7 +204,7 @@ def surface_render(
             and rays_o.shape[0] % ray_tile == 0):
         tb = model.bind_rays_tiled(
             params, rays_o, rays_d, near[:, None], far[:, None],
-            tile=ray_tile)
+            tile=ray_tile, max_candidates=tile_max_candidates)
         if tb is not None:
             bound, near_b, far_b = tb
             model = bound
@@ -235,10 +241,19 @@ def surface_render(
             return model.compute_distance(params, pts)[0][..., 0]
         refine_fn = query_fn
 
+    secant_override = None
+    if (hasattr(model, "fused_secant")
+            and getattr(getattr(model, "model", None), "use_pallas",
+                        False)):
+        def secant_override(f_low, f_high, d_low, d_high, n, tau):
+            return model.fused_secant(params, rays_o, rays_d, d_low,
+                                      d_high, f_low, f_high, n_iters=n,
+                                      logit_tau=tau)
+
     if ray_casting_algo == "root_finding":
         d_pred, pt_pred, mask, _ = root_finding_surface_points(
             scan_fn, rays_o, rays_d, refine_query_fn=refine_fn,
-            **ray_casting_cfgs)
+            secant_override=secant_override, **ray_casting_cfgs)
     elif ray_casting_algo == "sphere_tracing":
         d_pred, pt_pred, mask = sphere_tracing_surface_points(
             query_fn, rays_o, rays_d,

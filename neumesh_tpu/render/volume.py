@@ -376,8 +376,21 @@ class SingleRenderer:
         static = tuple(sorted(
             (k, v) for k, v in kwargs.items()
             if isinstance(v, (bool, int, float, str, type(None)))))
+        mg = getattr(self.model, "mesh_grid", None)
         if static not in self._cache:
             static_dict = dict(static)
-            self._cache[static] = jax.jit(
-                functools.partial(volume_render, self.model, **static_dict))
-        return self._cache[static](params, rays_o, rays_d, key)
+
+            def run(params, rays_o, rays_d, key, mesh_bufs,
+                    _sd=static_dict):
+                # mesh tables as jit arguments, not baked constants
+                # (MeshGrid.device_buffers)
+                if mg is not None and mesh_bufs is not None:
+                    with mg.bound_buffers(mesh_bufs):
+                        return volume_render(self.model, params, rays_o,
+                                             rays_d, key, **_sd)
+                return volume_render(self.model, params, rays_o, rays_d,
+                                     key, **_sd)
+
+            self._cache[static] = jax.jit(run)
+        bufs = mg.device_buffers() if mg is not None else None
+        return self._cache[static](params, rays_o, rays_d, key, bufs)

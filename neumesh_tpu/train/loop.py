@@ -50,12 +50,24 @@ def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
             scalars[k] = v
         return ret["losses"]["total"], scalars
 
+    mesh_grid = getattr(trainer.model, "mesh_grid", None)
+
     @jax.jit
     def train_step(params, opt_state, model_input, ground_truth, key,
-                   teacher_params, grad_mask=None):
-        (total, scalars), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, model_input, ground_truth, key,
-                                   teacher_params)
+                   teacher_params, grad_mask=None, mesh_bufs=None):
+        # large mesh tables arrive as ARGUMENTS (not baked constants) so
+        # the serialized program stays small and mesh-independent
+        # (MeshGrid.device_buffers)
+        if mesh_grid is not None and mesh_bufs is not None:
+            with mesh_grid.bound_buffers(mesh_bufs):
+                (total, scalars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, model_input,
+                                           ground_truth, key,
+                                           teacher_params)
+        else:
+            (total, scalars), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, model_input, ground_truth,
+                                       key, teacher_params)
         if grad_mask is not None:
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
         # global grad norm (reference utils/train_util.py:6-17 analog)
@@ -179,6 +191,8 @@ def main_function(args):
         else None
     train_step = build_train_step(
         trainer, opt, render_kwargs_train, args.data.N_rays, H, W, mesh=mesh)
+    mg = getattr(model, "mesh_grid", None)
+    mesh_bufs = mg.device_buffers() if mg is not None else None
 
     num_iters = args.training.num_iters
     i_val = args.training.get("i_val", 500)
@@ -223,7 +237,7 @@ def main_function(args):
                 key, k_step = jax.random.split(key)
                 params, opt_state, total, scalars = train_step(
                     params, opt_state, model_input, ground_truth, k_step,
-                    teacher_params)
+                    teacher_params, mesh_bufs=mesh_bufs)
                 it += 1
 
                 if it % args.training.get("i_log", 20) == 0:

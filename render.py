@@ -88,6 +88,8 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
             "Please choose render type between [spiral, dataset]")
 
     render_kwargs_test["rayschunk"] = args.rayschunk
+    if args.get("ray_tile", None):
+        render_kwargs_test["ray_tile"] = args.ray_tile
     outbase = args.get("outbase", None) or args.expname
     output_dir = os.path.join("out", outbase)
     if args.get("outdirectory", None) is not None:
@@ -100,6 +102,8 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
         return (np.clip(img, 0, 1) * 255.0).astype(np.uint8)
 
     rgb_imgs, depth_imgs, normal_imgs = [], [], []
+    if hasattr(render_fn, "set_image_hw"):
+        render_fn.set_image_hw(H, W)   # pixel-block tiling (surface mode)
     kwargs = {k: v for k, v in render_kwargs_test.items()
               if k not in ("batched",)}
     kwargs["calc_normal"] = True
@@ -223,11 +227,30 @@ def make_surface_render_fn(args, model):
                                   ray_casting_cfgs=dict(cfgs))
         return jax.jit(f)
 
+    image_hw = [None, None]
+
     def render_fn(params, rays_o, rays_d, key=None, detailed_output=False,
                   **kw):
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)
         n = ro.shape[0]
+
+        # tile-shared candidate caches need COMPACT ray bundles: permute
+        # full-image rays into pixel blocks (1-D scanline tiles span a
+        # whole image row and overflow the shared candidate cache)
+        inv = None
+        H, W = image_hw
+        if tile > 1 and H and W and H * W == n:
+            from neumesh_tpu.ops.rays import block_order_indices
+            bh = max(1, int(np.sqrt(tile // 2)))
+            bw = tile // bh
+            while bh > 1 and (H % bh or W % bw):
+                bh //= 2
+                bw = tile // bh
+            if H % bh == 0 and W % bw == 0:
+                perm, inv = block_order_indices(H, W, bh, bw)
+                ro, rd = ro[perm], rd[perm]
+
         chunk = args.rayschunk or n
         pad = (-n) % chunk
         if pad:
@@ -238,16 +261,23 @@ def make_surface_render_fn(args, model):
                 for i in range(0, n + pad, chunk)]
         rgb = jnp.concatenate([o[0] for o in outs])[:n]
         depth = jnp.concatenate([o[1] for o in outs])[:n]
+        normals = jnp.concatenate(
+            [o[2]["normals_surface"] for o in outs])[:n]
+        mask = jnp.concatenate(
+            [o[2]["mask_surface"] for o in outs])[:n]
+        if inv is not None:
+            rgb, depth, normals, mask = (rgb[inv], depth[inv],
+                                         normals[inv], mask[inv])
         extras = {
             # the image loop writes "normals_volume"; surface normals are
             # the same quantity for this mode
-            "normals_volume": jnp.concatenate(
-                [o[2]["normals_surface"] for o in outs])[:n],
-            "mask_surface": jnp.concatenate(
-                [o[2]["mask_surface"] for o in outs])[:n],
+            "normals_volume": normals,
+            "mask_surface": mask,
         }
         return rgb, depth, extras
 
+    render_fn.set_image_hw = lambda h, w: image_hw.__setitem__(
+        slice(None), [h, w])
     return render_fn
 
 
@@ -255,6 +285,10 @@ def create_render_args(parser):
     parser.add_argument("--num_views", type=int, default=90)
     parser.add_argument("--downscale", type=float, default=1)
     parser.add_argument("--rayschunk", type=int, default=4096)
+    parser.add_argument(
+        "--ray_tile", type=int, default=0,
+        help="volume mode: share one candidate cache across this many "
+             "consecutive rays (coherent camera rays; bench.py uses 16)")
     parser.add_argument("--camera_path", type=str, default="spiral")
     parser.add_argument("--load_pt", type=str, default=None)
     parser.add_argument("--H", type=int, default=None)

@@ -265,3 +265,48 @@ def test_fast_config_depth_accuracy():
     mask = np.asarray(extras["mask_surface"])
     assert (mask == hit).all()
     np.testing.assert_allclose(np.asarray(depths)[hit], t[hit], atol=5e-4)
+
+
+def test_fused_secant_matches_reference_loop():
+    """secant_refine (all iterations in one kernel, interpret mode on
+    CPU) must reproduce run_secant_method driven by the same density."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    m = NeuMesh(MeshGrid(mesh, distance_method="grid"), use_pallas=True,
+                **kw)
+    params = m.init(jax.random.PRNGKey(0))
+
+    o, d = rays(8)
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+    near, far = near_far_from_sphere(o, d)
+    bound = m.bind_rays(params, o, d, near, far)
+
+    # brackets straddling the (untrained) density field around the mesh
+    d_low = jnp.full((8,), 2.62)
+    d_high = jnp.full((8,), 2.38)
+    def f(dv):
+        pts = o + dv[:, None] * d
+        return bound.forward_density_only(params, pts[:, None, :])[:, 0]
+    f_low, f_high = f(d_low), f(d_high)
+
+    from neumesh_tpu.render.ray_casting import run_secant_method
+    want = run_secant_method(
+        f_low, f_high, d_low, d_high, o, d,
+        lambda p: bound.forward_density_only(params, p[:, None, :])[:, 0],
+        4)
+    got = bound.fused_secant(params, o, d, d_low, d_high, f_low, f_high,
+                             n_iters=4)
+    # kNN near-ties can flip between the two paths on the jittered
+    # sphere, shifting one root by <1e-3 on this noisy untrained field
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3)

@@ -18,15 +18,29 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--scan", default="distance")
     ap.add_argument("--secant", type=int, default=8)
+    ap.add_argument("--cmax", type=int, default=0)
     ap.add_argument("--n", type=int, default=65536)
     args = ap.parse_args()
     model, params = build(bool(args.pallas), args.sblk)
     o, d = rays(args.n)
+    # group rays into compact pixel blocks: 1-D scanline tiles span a
+    # whole image row, whose candidate union overflows the shared cache
+    side = int(np.sqrt(args.n))
+    if args.tile > 1:
+        from neumesh_tpu.ops.rays import block_order_indices
+        bh = max(1, int(np.sqrt(args.tile // 2)))
+        bw = args.tile // bh
+        while side % bh or side % bw:
+            bh //= 2
+            bw = args.tile // bh
+        perm, _ = block_order_indices(side, side, bh, bw)
+        o, d = o[perm], d[perm]
 
     @jax.jit
     def render(params, o, d):
         c, dep, ex = surface_render(
             model, params, o, d, ray_tile=args.tile, scan_mode=args.scan,
+            tile_max_candidates=args.cmax or None,
             ray_casting_cfgs={"N_steps": args.steps,
                               "N_secant_steps": args.secant})
         return c, dep
