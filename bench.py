@@ -1,20 +1,27 @@
 """Render-throughput benchmark (driver-run; prints ONE JSON line).
 
-Headline metric: Mrays/s surface-rendering the flagship NeuMesh model
-(root finding on the mesh-distance proxy + secant refinement on the true
-density + one color query per ray; `render.py --render_mode surface`),
-65536 coherent camera rays, bf16 serving mode, fused Pallas field kernel
-with tile-shared candidate caches. Accuracy gate:
+Headline metric: Mrays/s surface-rendering the flagship NeuMesh model at
+PRODUCTION mesh scale (163,842-vertex icosphere — the repo's end-to-end
+DTU-style scaffolds are ~135k vertices; VERDICT r2 #3) — root finding on
+the mesh-distance proxy + secant refinement on the true density + one
+color query per ray (`render.py --render_mode surface`), 65536 coherent
+camera rays, bf16 serving mode, fused Pallas field kernel with
+tile-shared candidate caches. Accuracy gate:
 tests/test_surface_render.py::test_fast_config_depth_accuracy pins this
-configuration to sub-millimeter surface localisation.
+configuration to sub-millimeter surface localisation;
+tools/quality_gate.py scores it on a trained scene.
 
-The same line also reports the full NeuS-style volume path (64 coarse +
-4x16 upsample samples/ray + midpoint color pass — reference
-models/renderer.py:124-131) as `volume_mrays`: the volume path is
-FLOP-bound at ~200 MFLOPs/ray, so its ceiling on one v5e chip is ~1
-Mrays/s at 100% MXU; surface mode reaches production throughput by doing
-~40 evals/ray instead of ~255 (BASELINE.md north star: 20 Mrays/s on
-v5e-8).
+Secondary numbers in the same line:
+  surface_mrays_10k — the round-2 10k-vertex configuration (kept for
+    round-over-round comparability; ADVICE r2).
+  volume_mrays — full NeuS-style volume path (64 coarse + 4x16 upsample
+    samples/ray + midpoint color pass, reference models/renderer.py:124-131)
+    at production mesh scale, with volume_vs_baseline its own ratio vs
+    the 20 Mrays/s v5e-8 north star (BASELINE.md).
+
+Multi-chip: when more than one local device is visible, the surface
+paths run shard_map'ed over all of them (parallel/mesh.py::
+sharded_surface_render) and the line reports n_devices.
 """
 from __future__ import annotations
 
@@ -41,55 +48,72 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tools.bench_sweep import build, rays
 
-    from neumesh_tpu.render.ray_casting import surface_render
+    from neumesh_tpu.ops.rays import block_order_indices
+    from neumesh_tpu.parallel.mesh import (get_device_mesh,
+                                           sharded_surface_render)
     from neumesh_tpu.render.volume import volume_render_rays
 
-    model, params = build(use_pallas=True, sblk=512)
+    n_dev = jax.local_device_count()
+    dev_mesh = get_device_mesh(n_dev) if n_dev > 1 else None
 
-    # ---- headline: surface mode, 65536 coherent rays grouped into
-    # 8x16 pixel blocks (the tile-shared candidate caches need compact
-    # ray bundles; quality-gated on the trained synthetic scene at
-    # +0.2 dB vs the bf16 volume path, tools/quality_gate.py)
-    n_surf = 65536
-    o_s, d_s = rays(n_surf)
-    from neumesh_tpu.ops.rays import block_order_indices
-    side = int(n_surf ** 0.5)
-    perm, _ = block_order_indices(side, side, 8, 16)
-    o_s, d_s = o_s[perm], d_s[perm]
+    def bench_surface(model, params, n_rays, tile, max_cand, iters=10):
+        o_s, d_s = rays(n_rays)
+        side = int(n_rays ** 0.5)
+        perm, _ = block_order_indices(side, side, 8, 16)
+        o_s, d_s = o_s[perm], d_s[perm]
+        mg = model.mesh_grid
+
+        @jax.jit
+        def render_surface(params, o, d, mesh_bufs):
+            with mg.bound_buffers(mesh_bufs):
+                c, dep, _ = sharded_surface_render(
+                    model, params, o, d, mesh=dev_mesh, ray_tile=tile,
+                    scan_mode="distance", tile_max_candidates=max_cand,
+                    ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
+            return c
+
+        bufs = mg.device_buffers()
+        render_surface(params, o_s, d_s, bufs).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = render_surface(params, o_s, d_s, bufs)
+        out.block_until_ready()
+        return n_rays * iters / (time.perf_counter() - t0) / 1e6
+
+    # ---- headline: surface mode at production mesh scale, 65536
+    # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate
+    # caches need compact ray bundles)
+    model7, params7 = build(use_pallas=True, sblk=512, subdivisions=7)
+    surf_mrays = bench_surface(model7, params7, 65536, tile=128,
+                               max_cand=256)
+    n_vertices = model7.num_vertices
+
+    # ---- secondary: the round-2 10k-vertex configuration
+    model5, params5 = build(use_pallas=True, sblk=512, subdivisions=5)
+    surf_mrays_10k = bench_surface(model5, params5, 65536, tile=128,
+                                   max_cand=256)
+
+    # ---- secondary: full volume path at production mesh scale
+    n_vol = 16384
+    o_v, d_v = rays(n_vol)
+    mg7 = model7.mesh_grid
 
     @jax.jit
-    def render_surface(params, o, d):
-        c, dep, _ = surface_render(
-            model, params, o, d, ray_tile=128, scan_mode="distance",
-            tile_max_candidates=256,
-            ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
-        return c
+    def render_volume(params, o, d, mesh_bufs):
+        with mg7.bound_buffers(mesh_bufs):
+            ret = volume_render_rays(
+                model7, params, o, d, jax.random.PRNGKey(0),
+                detailed_output=False, perturb=False,
+                bounded_near_far=True, N_samples=64, N_importance=64,
+                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=16)
+        return ret["rgb"]
 
-    render_surface(params, o_s, d_s).block_until_ready()
+    bufs7 = mg7.device_buffers()
+    render_volume(params7, o_v, d_v, bufs7).block_until_ready()
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render_surface(params, o_s, d_s)
-    out.block_until_ready()
-    surf_mrays = n_surf * iters / (time.perf_counter() - t0) / 1e6
-
-    # ---- secondary: full volume path, 16384 rays, tiled contexts
-    n_vol = 16384
-    o_v, d_v = rays(n_vol)
-
-    @jax.jit
-    def render_volume(params, o, d):
-        ret = volume_render_rays(
-            model, params, o, d, jax.random.PRNGKey(0),
-            detailed_output=False, perturb=False, bounded_near_far=True,
-            N_samples=64, N_importance=64, N_upsample_iters=4,
-            reuse_upsample_sdf=True, ray_tile=16)
-        return ret["rgb"]
-
-    render_volume(params, o_v, d_v).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render_volume(params, o_v, d_v)
+        out = render_volume(params7, o_v, d_v, bufs7)
     out.block_until_ready()
     vol_mrays = n_vol * iters / (time.perf_counter() - t0) / 1e6
 
@@ -98,7 +122,11 @@ def main():
         "value": round(surf_mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(surf_mrays / 20.0, 4),
+        "surface_mrays_10k": round(surf_mrays_10k, 4),
         "volume_mrays": round(vol_mrays, 4),
+        "volume_vs_baseline": round(vol_mrays / 20.0, 4),
+        "n_vertices": n_vertices,
+        "n_devices": n_dev,
     }))
 
 

@@ -89,14 +89,19 @@ class NeuMesh:
         # coverage for rays grazing dense regions
         self.max_candidates = max_candidates
 
+        # f32 (compute_dtype=None) is the parity/training mode: exact
+        # per-frequency sin/cos. Low-precision serving enables the
+        # double-angle recursion (~3e-5 abs at multires=8 — below the
+        # bf16 cast error it accompanies; ADVICE r2).
+        exact = compute_dtype is None
         self.embed_fn_d, self.input_ch_d = get_embedder(
-            multires_d, input_dim=input_d_dim)
+            multires_d, input_dim=input_d_dim, exact=exact)
         self.embed_fn_view, self.input_ch_view = get_embedder(
-            multires_view, input_dim=input_view_dim)
+            multires_view, input_dim=input_view_dim, exact=exact)
         self.embed_fn_fg, self.input_ch_fg = get_embedder(
-            multires_fg, input_dim=geometry_dim)
+            multires_fg, input_dim=geometry_dim, exact=exact)
         self.embed_fn_ft, self.input_ch_ft = get_embedder(
-            multires_ft, input_dim=color_dim)
+            multires_ft, input_dim=color_dim, exact=exact)
 
         self.input_ch_pts = self.input_ch_d + self.input_ch_fg
         self.input_ch_color = (self.input_ch_view + self.input_ch_ft

@@ -137,9 +137,16 @@ class Embedder:
     [x, sin(f0*x), cos(f0*x), sin(f1*x), cos(f1*x), ...] with
     log-sampled frequencies 2**linspace(0, multires-1, multires)."""
 
-    def __init__(self, multires: int, input_dim: int = 3):
+    def __init__(self, multires: int, input_dim: int = 3,
+                 exact: bool = True):
         self.input_dim = input_dim
         self.multires = multires
+        # exact=True keeps per-frequency sin/cos (f32 parity/training
+        # mode); exact=False enables the double-angle recursion for
+        # serving (error grows ~2**octave ulps, ~3e-5 absolute at
+        # multires=8 — fine for bf16 serving, a needless global numeric
+        # departure for the f32 parity mode; ADVICE r2)
+        self.exact = exact
         if multires < 0:
             # identity embedder (reference models/base.py:74-75)
             self.out_dim = input_dim
@@ -161,7 +168,8 @@ class Embedder:
         # the previous one (always true for the reference's log sampling
         # with integer max_freq_log2 = multires - 1)
         self._doubling = (
-            len(self.freqs) >= 1 and self.freqs[0] == 1.0
+            not exact
+            and len(self.freqs) >= 1 and self.freqs[0] == 1.0
             and all(abs(self.freqs[i + 1] - 2.0 * self.freqs[i]) == 0.0
                     for i in range(len(self.freqs) - 1)))
 
@@ -193,18 +201,19 @@ class Embedder:
 
     # allow use as a static (hashable) member of jitted model configs
     def __hash__(self):
-        return hash((self.input_dim, self.multires))
+        return hash((self.input_dim, self.multires, self.exact))
 
     def __eq__(self, other):
         return (
             isinstance(other, Embedder)
             and self.input_dim == other.input_dim
             and self.multires == other.multires
+            and self.exact == other.exact
         )
 
 
-def get_embedder(multires: int, input_dim: int = 3):
-    e = Embedder(multires, input_dim)
+def get_embedder(multires: int, input_dim: int = 3, exact: bool = True):
+    e = Embedder(multires, input_dim, exact=exact)
     return e, e.out_dim
 
 

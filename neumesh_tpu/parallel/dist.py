@@ -18,18 +18,32 @@ _initialized = False
 def first_slurm_node(node_list: str) -> str:
     """First hostname of a SLURM_NODELIST compact spec.
 
-    Handles 'host1', 'host1,host2', and bracket ranges like
-    'cluster-[003-010,012]' / 'node[1,5-7]' (reference
+    Handles 'host1', 'host1,host2', bracket ranges like
+    'cluster-[003-010,012]' / 'node[1,5-7]', and mixed lists like
+    'nodeA,nodeB[01-05]' — the list is split on commas OUTSIDE brackets
+    first, then the first element's bracket range is expanded (reference
     utils/dist_util.py:53-66 does the same truncation with string
     slicing; here the first node's name is reconstructed properly
     instead of assuming a site-specific hostname layout)."""
     node_list = node_list.strip()
-    if "[" not in node_list:
-        return node_list.split(",")[0]
-    head, rest = node_list.split("[", 1)
-    body = rest.split("]", 1)[0]
+    # first element of the comma list, ignoring commas inside [...]
+    depth = 0
+    first_spec = []
+    for ch in node_list:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        first_spec.append(ch)
+    spec = "".join(first_spec)
+    if "[" not in spec:
+        return spec
+    head, rest = spec.split("[", 1)
+    body, _, suffix = rest.partition("]")
     first = body.split(",")[0].split("-")[0]
-    return head + first
+    return head + first + suffix
 
 
 def slurm_coordinator_spec(environ=None, port: int | None = None):

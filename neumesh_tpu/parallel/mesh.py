@@ -56,3 +56,47 @@ def ray_sharder(mesh: Optional[Mesh], batched: bool = True):
 def shard_rays(mesh: Optional[Mesh], rays_o, rays_d, batched: bool = True):
     f = ray_sharder(mesh, batched)
     return f(rays_o), f(rays_d)
+
+
+def sharded_surface_render(model, params, rays_o, rays_d,
+                           mesh: Optional[Mesh] = None, **surface_kwargs):
+    """Multi-chip surface rendering: shard_map over the ray axis.
+
+    The headline serving path (ray_casting.surface_render with tiled
+    contexts + fused Pallas kernels) is embarrassingly parallel per ray
+    tile, but `pallas_call` programs do not partition under GSPMD sharding
+    constraints — so unlike the volume path (which shards with a
+    with_sharding_constraint inside one jitted program, ray_sharder), the
+    surface path is explicitly mapped: each device runs the full
+    single-chip render program on its contiguous ray shard, params and the
+    mesh-scaffold tables replicated, no collectives (the moral analog of
+    the reference's nn.DataParallel(dim=1) ray scatter,
+    reference models/trainer.py:39-42).
+
+    rays_o/rays_d: (R, 3) with R divisible by the mesh size (and each
+    shard divisible by `ray_tile` when tiling — callers pad, see
+    render.py). Returns exactly what surface_render returns, with every
+    output sharded along its leading ray axis.
+    """
+    from ..render.ray_casting import surface_render
+
+    if mesh is None or int(np.prod(mesh.devices.shape)) == 1:
+        return surface_render(model, params, rays_o, rays_d,
+                              **surface_kwargs)
+    n_dev = int(np.prod(mesh.devices.shape))
+    if rays_o.shape[0] % n_dev:
+        raise ValueError(
+            f"ray count {rays_o.shape[0]} not divisible by mesh size "
+            f"{n_dev}; pad the ray batch (render.py pads chunks)")
+
+    def local_render(p, o, d):
+        return surface_render(model, p, o, d, **surface_kwargs)
+
+    return jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        # the body closes over mesh-grid tables and runs pallas_call;
+        # varying-manual-axes inference has no rules for those
+        check_vma=False,
+    )(params, rays_o, rays_d)

@@ -115,6 +115,12 @@ def render_function(args, model, params, render_kwargs_test, render_fn):
     view_times = []
     key = jax.random.PRNGKey(0)
     intr_j = jnp.asarray(intrinsics)
+    # reference render.py:201,256: --disable_rgb skips the per-view
+    # render and every image/video write (the whole block is gated);
+    # the camera path + output dirs above are still constructed
+    if args.get("disable_rgb", False):
+        log.info("=> --disable_rgb: skipping render + image/video writes")
+        return 0.0
     for idx, c2w in enumerate(render_c2ws):
         rays_o, rays_d, _ = get_rays(
             jnp.asarray(np.asarray(c2w, np.float32)), intr_j, H, W)
@@ -219,12 +225,26 @@ def make_surface_render_fn(args, model):
     tile = args.get("surface_ray_tile", 0) or 0
     scan_mode = args.get("surface_scan", "density") or "density"
 
-    @functools.lru_cache(maxsize=4)
-    def _jitted(chunk):
+    # multi-chip serving: shard_map the surface program over the ray axis
+    # of every local device (the reference's nn.DataParallel(dim=1) ray
+    # scatter, models/trainer.py:39-42). --surface_devices 1 forces
+    # single-device; 0 (default) uses all local devices.
+    n_dev_req = args.get("surface_devices", 0) or 0
+    n_dev = n_dev_req if n_dev_req > 0 else jax.local_device_count()
+    dev_mesh = None
+    if n_dev > 1:
+        from neumesh_tpu.parallel.mesh import get_device_mesh
+        dev_mesh = get_device_mesh(n_dev)
+        log.info(f"=> Surface mode on {n_dev} devices (shard_map)")
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(chunk, tile_eff):
         def f(params, ro, rd):
-            return surface_render(model, params, ro, rd, calc_normal=True,
-                                  ray_tile=tile, scan_mode=scan_mode,
-                                  ray_casting_cfgs=dict(cfgs))
+            from neumesh_tpu.parallel.mesh import sharded_surface_render
+            return sharded_surface_render(
+                model, params, ro, rd, mesh=dev_mesh, calc_normal=True,
+                ray_tile=tile_eff, scan_mode=scan_mode,
+                ray_casting_cfgs=dict(cfgs))
         return jax.jit(f)
 
     image_hw = [None, None]
@@ -237,8 +257,12 @@ def make_surface_render_fn(args, model):
 
         # tile-shared candidate caches need COMPACT ray bundles: permute
         # full-image rays into pixel blocks (1-D scanline tiles span a
-        # whole image row and overflow the shared candidate cache)
+        # whole image row and overflow the shared candidate cache).
+        # If no feasible pixel block divides H/W, DISABLE tiling for this
+        # render rather than silently binding scanline tiles (~13 dB loss
+        # on full images — ADVICE r2).
         inv = None
+        tile_eff = tile
         H, W = image_hw
         if tile > 1 and H and W and H * W == n:
             from neumesh_tpu.ops.rays import block_order_indices
@@ -250,13 +274,28 @@ def make_surface_render_fn(args, model):
             if H % bh == 0 and W % bw == 0:
                 perm, inv = block_order_indices(H, W, bh, bw)
                 ro, rd = ro[perm], rd[perm]
+            else:
+                log.warning(
+                    f"surface_ray_tile={tile}: no pixel block divides "
+                    f"{H}x{W}; disabling ray tiling for this render "
+                    "(scanline tiles degrade tile-shared caches)")
+                tile_eff = 0
+        elif tile > 1:
+            log.warning(
+                f"surface_ray_tile={tile}: ray batch is not a full image "
+                "(H*W != n); disabling ray tiling for this render")
+            tile_eff = 0
 
+        # chunks must split evenly over devices, and each device shard
+        # evenly into tiles
+        quantum = max(1, n_dev) * max(tile_eff, 1)
         chunk = args.rayschunk or n
+        chunk = ((chunk + quantum - 1) // quantum) * quantum
         pad = (-n) % chunk
         if pad:
             ro = jnp.pad(ro, ((0, pad), (0, 0)), mode="edge")
             rd = jnp.pad(rd, ((0, pad), (0, 0)), mode="edge")
-        fn = _jitted(chunk)
+        fn = _jitted(chunk, tile_eff)
         outs = [fn(params, ro[i:i + chunk], rd[i:i + chunk])
                 for i in range(0, n + pad, chunk)]
         rgb = jnp.concatenate([o[0] for o in outs])[:n]
@@ -320,6 +359,10 @@ def create_render_args(parser):
         help="surface mode: share one candidate cache across this many "
              "consecutive rays (coherent camera rays; the bench.py "
              "throughput configuration uses 128)")
+    parser.add_argument(
+        "--surface_devices", type=int, default=0,
+        help="surface mode: number of local devices to shard the render "
+             "over (0 = all local devices; shard_map over the ray axis)")
     parser.add_argument(
         "--surface_scan", type=str, default="density",
         choices=["density", "distance"],

@@ -15,6 +15,15 @@ def test_first_slurm_node_brackets():
     assert first_slurm_node("gpu-[12]") == "gpu-12"
 
 
+def test_first_slurm_node_mixed_list():
+    # commas OUTSIDE brackets separate hosts (ADVICE r2): the first
+    # element may itself be plain or bracketed, and brackets may carry a
+    # domain suffix
+    assert first_slurm_node("nodeA,nodeB[01-05]") == "nodeA"
+    assert first_slurm_node("nodeB[01-05],nodeA") == "nodeB01"
+    assert first_slurm_node("n[01-02].cluster,other") == "n01.cluster"
+
+
 def test_slurm_spec_from_env():
     env = {"SLURM_PROCID": "3", "SLURM_NTASKS": "8",
            "SLURM_NODELIST": "tpu-host-[004-011]"}
