@@ -81,6 +81,18 @@ def main_function(args):
         log.info("LPIPS weights not found "
                  "(set NEUMESH_LPIPS_VGG/NEUMESH_LPIPS_LIN); skipping")
 
+    # --save_renders <dir>: dump each predicted view as <basename>.png —
+    # produces a reference-render directory consumable by
+    # tools/parity_eval.py --ref_renders (the DTU-day pipeline, rehearsed
+    # in tests/test_parity_cli.py)
+    save_dir = args.get("save_renders", None)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        from neumesh_tpu.dataio.dtu import glob_imgs
+        paths = glob_imgs(os.path.join(args.data.data_dir, "image"))
+        name_of = {i: os.path.splitext(os.path.basename(p))[0]
+                   for i, p in enumerate(paths)}
+
     rows = []
     for vi in views:
         _, sample, gt = dataset[vi]
@@ -89,6 +101,11 @@ def main_function(args):
         rgb, _, _ = render_fn(params, ro, rd, key=jax.random.PRNGKey(0),
                               detailed_output=False, **kwargs)
         pred = np.asarray(rgb).reshape(H, W, 3)
+        if save_dir:
+            import imageio.v2 as imageio
+            imageio.imwrite(
+                os.path.join(save_dir, f"{name_of.get(vi, vi)}.png"),
+                (np.clip(pred, 0, 1) * 255.0).astype(np.uint8))
         ref = np.asarray(gt["rgb"]).reshape(H, W, 3)
         p = float(psnr_fn(jnp.asarray(pred), jnp.asarray(ref)))
         s = float(ssim_fn(jnp.asarray(pred.transpose(2, 0, 1)),
@@ -128,6 +145,10 @@ if __name__ == "__main__":
     parser.add_argument("--views", type=str, default=None)
     parser.add_argument("--val_names", type=str, default=None)
     parser.add_argument("--out_json", type=str, default=None)
+    parser.add_argument(
+        "--save_renders", type=str, default=None,
+        help="directory to dump predicted views as <basename>.png "
+             "(consumable by tools/parity_eval.py --ref_renders)")
     args, unknown = parser.parse_known_args()
     config = load_config(args, unknown)
     main_function(config)

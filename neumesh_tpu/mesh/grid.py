@@ -53,6 +53,7 @@ class MeshGrid:
                 "vertex_normals": self.vertex_normals}
         if self.grid is not None:
             bufs["cand_idx"] = self.grid.cand_idx
+            bufs["cell_row"] = self.grid.cell_row
         return bufs
 
     def bound_buffers(self, bufs):
@@ -67,17 +68,22 @@ class MeshGrid:
                 yield self
                 return
             old = (self.vertices, self.vertex_normals,
-                   self.grid.cand_idx if self.grid is not None else None)
+                   self.grid.cand_idx if self.grid is not None else None,
+                   self.grid.cell_row if self.grid is not None else None)
             self.vertices = bufs["vertices"]
             self.vertex_normals = bufs["vertex_normals"]
             if self.grid is not None and "cand_idx" in bufs:
                 self.grid.cand_idx = bufs["cand_idx"]
+            if self.grid is not None and "cell_row" in bufs:
+                self.grid.cell_row = bufs["cell_row"]
             try:
                 yield self
             finally:
                 self.vertices, self.vertex_normals = old[0], old[1]
                 if self.grid is not None and old[2] is not None:
                     self.grid.cand_idx = old[2]
+                if self.grid is not None and old[3] is not None:
+                    self.grid.cell_row = old[3]
 
         return cm()
 

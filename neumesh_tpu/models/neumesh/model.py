@@ -60,6 +60,7 @@ class NeuMesh:
         use_pallas: bool = False,
         max_candidates: int = 96,
         pallas_sample_block: int = 256,
+        f32_layers: tuple = (),
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -88,6 +89,10 @@ class NeuMesh:
         # faster (every per-sample tensor scales with it) but weakens kNN
         # coverage for rays grazing dense regions
         self.max_candidates = max_candidates
+        # selective-f32 serving: layer tags kept at f32 weights/passes
+        # when compute_dtype is low precision (closes the bf16 parity
+        # gap; see RayBoundNeuMesh._field_weights for the tag set)
+        self.f32_layers = tuple(f32_layers)
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -299,7 +304,7 @@ class NeuMesh:
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
             + cell[..., 2]                               # (R, P)
-        cand = grid.cand_idx[flat]                       # (R, P, Kp)
+        cand = grid.cell_candidates(flat)                # (R, P, Kp)
         if kp_per_probe is not None:
             cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
         ids = cand.reshape(R, -1)                        # (R, C)
@@ -415,7 +420,7 @@ class NeuMesh:
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
             + cell[..., 2]                               # (R, P)
-        cand = grid.cand_idx[flat]                       # (R, P, Kp)
+        cand = grid.cell_candidates(flat)                # (R, P, Kp)
         if kp_per_probe is not None:
             cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
         ids = cand.reshape(Rt, -1)                       # (Rt, C0)
@@ -689,29 +694,38 @@ class RayBoundNeuMesh:
     def _field_weights(self, params):
         """Fold weight-norm into plain (in, out) weights (+ (1, out)
         biases), cast to the serving dtype; split the density first layer
-        into its d-embedding / fg-embedding row blocks."""
+        into its d-embedding / fg-embedding row blocks.
+
+        Selective-f32 serving (NeuMesh.f32_layers): layers tagged there
+        keep f32 weights, and the kernels run a true-f32 MXU pass for any
+        f32 weight (per-layer precision follows the weight dtype — see
+        pallas_kernels._density_mlp). Tags: 'density' (whole density
+        MLP), 'd0'/'dh' (its first layer / head), 'color', 'c0'/'ch'."""
         from ...nn import wnorm_weight
         m = self.model
         dt = m.compute_dtype
+        f32 = getattr(m, "f32_layers", ())
 
-        def eff(p):
+        def eff(p, *tags):
             w = wnorm_weight(p) if "g" in p else p["w"]
-            return w if dt is None else w.astype(dt)
+            if dt is None or any(t in f32 for t in tags):
+                return w
+            return w.astype(dt)
 
         p0 = params["pts_linears"][0]
-        w0 = eff(p0)
+        w0 = eff(p0, "density", "d0")
         dws = [w0[:m.input_ch_d], w0[m.input_ch_d:], p0["b"][None]]
         for p in params["pts_linears"][1:]:
-            dws += [eff(p), p["b"][None]]
+            dws += [eff(p, "density"), p["b"][None]]
         ph = params["density_linear"]
-        dws += [eff(ph), ph["b"][None]]
+        dws += [eff(ph, "density", "dh"), ph["b"][None]]
 
         c0 = params["views_linears"][0]
-        cws = [eff(c0), c0["b"][None]]
+        cws = [eff(c0, "color", "c0"), c0["b"][None]]
         for p in params["views_linears"][1:]:
-            cws += [eff(p), p["b"][None]]
+            cws += [eff(p, "color"), p["b"][None]]
         cph = params["color_linear"]
-        cws += [eff(cph), cph["b"][None]]
+        cws += [eff(cph, "color", "ch"), cph["b"][None]]
         return tuple(dws), tuple(cws)
 
     def _fused_field(self, params, xyz, want: str, dirs=None):

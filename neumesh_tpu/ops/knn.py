@@ -65,12 +65,22 @@ def knn_brute(query: jnp.ndarray, points: jnp.ndarray, k: int,
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CandidateGrid:
-    """Per-cell precomputed-candidate grid (device arrays).
+    """Two-level per-cell precomputed-candidate grid (device arrays).
 
-    cand_idx: (n_cells, Kp) int32 — candidate vertex ids per cell.
-    cand_pts: (n_cells, Kp, 3) f32 — the same candidates' positions inline.
+    Candidate LISTS are stored only for near-surface cells (deduplicated
+    ROWS); a dense per-cell int32 map points every cell at its row — far
+    cells share the row of their nearest near-surface cell (EDT), which
+    previously DUPLICATED whole (Kp,)/(Kp, 3) lists per far cell. At
+    production mesh scale (163k vertices) the flat layout was 420 MB of
+    cand_idx + 1.3 GB of cand_pts; the two-level layout is ~8 MB of map +
+    tables proportional to the surface area.
+
+    cell_row: (n_cells,) int32 — candidate-row id per grid cell.
+    cand_idx: (n_rows, Kp) int32 — candidate vertex ids per ROW.
+    cand_pts: (n_rows, Kp, 3) f32 — the same candidates' positions inline.
     origin (3,), inv_h scalar, dims (static 3-tuple).
     """
+    cell_row: jnp.ndarray
     cand_idx: jnp.ndarray
     cand_pts: object            # host numpy (stays numpy: stable pytree)
     origin: jnp.ndarray
@@ -83,8 +93,8 @@ class CandidateGrid:
         # closure/argument signature per call (recompile + staleness
         # hazard). The device copy lives in the _pts_dev cache attribute,
         # deliberately OUTSIDE the pytree.
-        return ((self.cand_idx, self.cand_pts, self.origin, self.inv_h),
-                (self.dims,))
+        return ((self.cell_row, self.cand_idx, self.cand_pts, self.origin,
+                 self.inv_h), (self.dims,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -106,6 +116,11 @@ class CandidateGrid:
     @property
     def Kp(self) -> int:
         return self.cand_idx.shape[1]
+
+    def cell_candidates(self, flat_cell) -> jnp.ndarray:
+        """Candidate vertex ids for flat cell ids: (...,) -> (..., Kp).
+        Two gathers: a tiny int row lookup, then the (Kp,) id rows."""
+        return self.cand_idx[self.cell_row[flat_cell]]
 
     def query(self, xyz: jnp.ndarray, k: int = 8,
               q_chunk: int = 262144):
@@ -130,8 +145,9 @@ class CandidateGrid:
         cell = jnp.floor((q - self.origin) * self.inv_h).astype(jnp.int32)
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-        cpts = self._pts_device()[flat]     # (Q, Kp, 3)
-        cidx = self.cand_idx[flat]          # (Q, Kp)
+        row = self.cell_row[flat]           # (Q,)
+        cpts = self._pts_device()[row]      # (Q, Kp, 3)
+        cidx = self.cand_idx[row]           # (Q, Kp)
         d2 = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)
         neg, sel = jax.lax.top_k(-d2, k)
         idx = jnp.take_along_axis(cidx, sel, axis=-1)
@@ -164,7 +180,7 @@ def _grid_cache_path(points: np.ndarray, kp: int, cell_size,
     import os
     h = hashlib.sha1()
     h.update(np.ascontiguousarray(points, np.float32).tobytes())
-    h.update(f"{kp}|{cell_size}|{domain_margin}|v4".encode())
+    h.update(f"{kp}|{cell_size}|{domain_margin}|v5".encode())
     cache_dir = os.environ.get(
         "NEUMESH_GRID_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "neumesh_tpu"))
@@ -176,17 +192,21 @@ def build_candidate_grid(
     points,
     kp: int = 24,
     cell_size: float | None = None,
-    domain_margin: float = 0.6,
+    domain_margin: float | None = None,
     max_cells: int = 2 << 20,
     validate: bool = True,
     use_cache: bool = True,
 ) -> CandidateGrid:
-    """Build the candidate grid (one-time per mesh).
+    """Build the two-level candidate grid (one-time per mesh).
 
-    The grid covers the vertex bbox grown by `domain_margin` (render-volume
-    queries outside the bbox clamp to boundary cells, whose candidates are
-    the genuinely nearest mesh region). cell_size defaults to the max 8th-NN
-    distance among the points, giving near-surface exactness with Kp=16.
+    The grid covers the vertex bbox grown by `domain_margin` (queries
+    outside the bbox clamp per-coordinate to boundary cells — i.e. to the
+    closest bbox point — whose rows hold the genuinely nearest mesh
+    region; default margin: 3 cells, since a larger margin only inflates
+    the dense cell map without changing which candidates far queries
+    see). cell_size defaults to the 90th-pct 8th-NN distance among the
+    points, giving near-surface exactness with modest Kp; build-time
+    validation doubles Kp until the kNN distances match exact search.
     """
     pts = np.asarray(points, dtype=np.float32)
     n = pts.shape[0]
@@ -200,6 +220,7 @@ def build_candidate_grid(
             try:
                 z = np.load(cache_path)
                 return CandidateGrid(
+                    cell_row=jnp.asarray(z["cell_row"]),
                     cand_idx=jnp.asarray(z["cand_idx"]),
                     cand_pts=z["cand_pts"],
                     origin=jnp.asarray(z["origin"]),
@@ -211,19 +232,26 @@ def build_candidate_grid(
 
     if cell_size is None:
         # 90th-percentile 8th-NN distance (outlier-robust), shrunk so that
-        # kp=16 candidate lists cover any query inside the cell
+        # kp~24 candidate lists cover any query inside the cell
         sample = pts if n <= 20000 else pts[
             np.random.default_rng(0).choice(n, 20000, replace=False)]
         d, _ = _host_knn(pts, sample, min(9, n))
         d8 = d[:, -1]
         cell_size = float(np.percentile(d8, 90) + 1e-6)
 
-    lo = pts.min(0) - domain_margin
-    hi = pts.max(0) + domain_margin
+    margin = (3.0 * cell_size if domain_margin is None
+              else float(domain_margin))
+    lo = pts.min(0) - margin
+    hi = pts.max(0) + margin
     extent = np.maximum(hi - lo, 1e-3)
     dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
     while int(dims.prod()) > max_cells:
         cell_size *= 1.26
+        margin = (3.0 * cell_size if domain_margin is None
+                  else float(domain_margin))
+        lo = pts.min(0) - margin
+        hi = pts.max(0) + margin
+        extent = np.maximum(hi - lo, 1e-3)
         dims = np.maximum(np.ceil(extent / cell_size).astype(np.int64), 1)
 
     # ---- candidate lists per cell.
@@ -249,16 +277,18 @@ def build_candidate_grid(
     edt_idx = ndimage.distance_transform_edt(
         ~near_mask, return_distances=False, return_indices=True)
     src_ijk = np.stack([edt_idx[0], edt_idx[1], edt_idx[2]], -1)  # (...,3)
-    # map (i,j,k) of the source near-cell to its row in cand_near
+    # map (i,j,k) of the source near-cell to its row in cand_near; far
+    # cells POINT AT their source's row (two-level) instead of copying it
     near_row = np.full(tuple(dims), -1, np.int64)
     near_row[near_ijk[:, 0], near_ijk[:, 1], near_ijk[:, 2]] = \
         np.arange(len(near_ijk))
-    rows = near_row[src_ijk[..., 0], src_ijk[..., 1], src_ijk[..., 2]]
-    cand_idx = cand_near[rows.reshape(-1)]       # (n_cells, Kp)
-    cand_pts = pts[cand_idx]                     # (n_cells, Kp, 3)
+    cell_row = near_row[src_ijk[..., 0], src_ijk[..., 1],
+                        src_ijk[..., 2]].reshape(-1)   # (n_cells,)
+    cand_pts = pts[cand_near]                    # (n_rows, Kp, 3)
 
     grid = CandidateGrid(
-        cand_idx=jnp.asarray(cand_idx),
+        cell_row=jnp.asarray(cell_row.astype(np.int32)),
+        cand_idx=jnp.asarray(cand_near.astype(np.int32)),
         cand_pts=np.ascontiguousarray(cand_pts),
         origin=jnp.asarray(lo.astype(np.float32)),
         inv_h=jnp.asarray(np.float32(1.0 / cell_size)),
@@ -288,6 +318,7 @@ def build_candidate_grid(
     if cache_path is not None:
         try:
             np.savez(cache_path,
+                     cell_row=np.asarray(grid.cell_row),
                      cand_idx=np.asarray(grid.cand_idx),
                      cand_pts=np.asarray(grid.cand_pts),
                      origin=np.asarray(grid.origin),

@@ -463,13 +463,19 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
 
     One concatenated first-layer matmul: every extra operand of a split
     dot costs a full 128-deep MXU pass regardless of its K, so 6 small-K
-    dots are ~3x the cost of one K=177 dot."""
-    def cast(a):
-        return a if dtype is None else a.astype(dtype)
+    dots are ~3x the cost of one K=177 dot.
 
+    Per-layer precision follows the WEIGHT dtype (selective-f32 serving,
+    NeuMesh f32_layers): an f32 weight runs a true-f32 pass regardless of
+    the global serving dtype; low-precision weights cast the activations
+    down to match."""
     def dot(a, wm):
-        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
-                       precision=None if dtype is not None else "highest")
+        if wm.dtype == jnp.float32:
+            return jnp.dot(a.astype(jnp.float32), wm,
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
+        return jnp.dot(a.astype(wm.dtype), wm,
+                       preferred_element_type=jnp.float32)
 
     # materialise the weight refs once (callers may pass Refs or
     # values; [...] is the identity on plain arrays, and Ref tracers
@@ -549,12 +555,14 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     fg = feats[:, :geometry_dim]
     ft = feats[:, geometry_dim:] if want == "full" else None
 
-    def cast(a):
-        return a if dtype is None else a.astype(dtype)
-
     def dot2(a, wm):
-        return jnp.dot(cast(a), wm, preferred_element_type=jnp.float32,
-                       precision=None if dtype is not None else "highest")
+        # per-layer precision follows the weight dtype (see _density_mlp)
+        if wm.dtype == jnp.float32:
+            return jnp.dot(a.astype(jnp.float32), wm,
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
+        return jnp.dot(a.astype(wm.dtype), wm,
+                       preferred_element_type=jnp.float32)
 
     ri = 0
     dens_ws = refs[ri:ri + 2 * (n_dens + 1) + 1]

@@ -88,15 +88,18 @@ def init_env(args=None, seed: int = 42):
     slurm = slurm_coordinator_spec(port=port)
     if (explicit or slurm) and not _initialized:
         import jax
+        # NOTE: no logging before initialize() — the log formatter queries
+        # the process index, which would initialise the XLA backend and
+        # make jax.distributed.initialize() fail
         if explicit or slurm is None:
             jax.distributed.initialize()
         else:
             addr, n_procs, proc_id = slurm
-            log.info(f"SLURM bootstrap: coordinator {addr}, "
-                     f"process {proc_id}/{n_procs}")
             jax.distributed.initialize(
                 coordinator_address=addr, num_processes=n_procs,
                 process_id=proc_id)
+            log.info(f"SLURM bootstrap: coordinator {addr}, "
+                     f"process {proc_id}/{n_procs}")
         _initialized = True
         log.info(f"jax.distributed initialised: process "
                  f"{jax.process_index()}/{jax.process_count()}")

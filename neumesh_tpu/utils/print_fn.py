@@ -39,11 +39,20 @@ class _MasterFilter(logging.Filter):
 
 
 def _process_index() -> int:
+    # lazy on purpose: jax.process_index() INITIALISES the XLA backend,
+    # and doing that at import time (or before jax.distributed.initialize)
+    # breaks multi-process bootstrap. Only query once something logs.
     try:
         import jax
         return jax.process_index()
     except Exception:
         return 0
+
+
+class _RankInjector(logging.Filter):
+    def filter(self, record):
+        record.procidx = _process_index()
+        return True
 
 
 log = logging.getLogger("neumesh_tpu")
@@ -54,8 +63,9 @@ def init_log(level=logging.INFO, master_only: bool = True):
         return log
     handler = logging.StreamHandler(sys.stdout)
     handler.setFormatter(_ColorFormatter(
-        f"%(asctime)s [proc {_process_index()}] %(levelname)s %(message)s",
+        "%(asctime)s [proc %(procidx)s] %(levelname)s %(message)s",
         datefmt="%H:%M:%S"))
+    handler.addFilter(_RankInjector())
     if master_only:
         handler.addFilter(_MasterFilter(_process_index))
     log.addHandler(handler)

@@ -114,6 +114,134 @@ def test_candidate_field_ragged_rays():
                                atol=1e-5, rtol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# v3 (the PRODUCTION candidate kernel: candidate axis on lanes, packed
+# (8, C) geometry rows) — parity vs the same XLA reference (ADVICE r2)
+# ---------------------------------------------------------------------------
+
+
+def _pack_geo(pts, ind, pp, vn):
+    return jnp.concatenate(
+        [jnp.swapaxes(pts, -1, -2), jnp.swapaxes(ind, -1, -2),
+         pp[:, None, :], vn[:, None, :]], axis=1)        # (B, 8, C)
+
+
+def test_candidate_field_v3_matches_xla():
+    from neumesh_tpu.ops.pallas_kernels import candidate_field_v3
+
+    inputs = make_inputs()
+    xyz, pts, pp, ind, vn, feat = inputs
+    w1 = 0.12
+    ok = _no_tie_rows(inputs)
+    assert ok.mean() > 0.9
+    geo = _pack_geo(pts, ind, pp, vn)
+    ds_p, dh_p, feats_p = candidate_field_v3(xyz, geo, feat, w1,
+                                             interpret=True)
+    ds_x, dh_x, feats_x = xla_reference(*inputs, w1)
+
+    def cmp(a, b, **kw):
+        np.testing.assert_allclose(np.asarray(a)[ok], np.asarray(b)[ok],
+                                   **kw)
+
+    cmp(ds_p, ds_x, atol=1e-5, rtol=1e-4)
+    cmp(feats_p, feats_x, atol=5e-5, rtol=1e-4)
+    cmp(dh_p, dh_x, atol=1e-4, rtol=1e-3)
+
+
+def test_candidate_field_v3_variants_and_ragged():
+    """want_dh/want_feat variants agree on ds; S not a sample_block
+    multiple exercises the internal sample padding."""
+    from neumesh_tpu.ops.pallas_kernels import candidate_field_v3
+
+    inputs = make_inputs(R=3, S=13, seed=5)
+    xyz, pts, pp, ind, vn, feat = inputs
+    w1 = 0.2
+    geo = _pack_geo(pts, ind, pp, vn)
+    ds_full, dh, feats = candidate_field_v3(xyz, geo, feat, w1,
+                                            interpret=True, sample_block=32)
+    ds_d, dh_none, fg = candidate_field_v3(
+        xyz, geo, feat[..., :8], w1, interpret=True, sample_block=32,
+        want_dh=False)
+    assert dh_none is None
+    np.testing.assert_allclose(np.asarray(ds_d), np.asarray(ds_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fg), np.asarray(feats)[..., :8],
+                               atol=1e-6)
+    ds_x, dh_x, feats_x = xla_reference(*inputs, w1)
+    ok = _no_tie_rows(inputs)
+    np.testing.assert_allclose(np.asarray(ds_full)[ok],
+                               np.asarray(ds_x)[ok], atol=1e-5, rtol=1e-4)
+
+
+def test_candidate_field_v3_sentinels():
+    """C gets padded to a 128 multiple internally with (v=0, pp=huge)
+    sentinels; explicit huge-coordinate sentinels must also never win."""
+    from neumesh_tpu.ops.pallas_kernels import candidate_field_v3
+
+    xyz, pts, pp, ind, vn, feat = make_inputs(seed=1)
+    pts = pts.at[:, -8:, :].set(1e9)
+    pp = jnp.sum(pts * pts, -1)
+    ind = ind.at[:, -8:, :].set(0.0)
+    vn = jnp.sum(pts * ind, -1)
+    geo = _pack_geo(pts, ind, pp, vn)
+    ds, dh, feats = candidate_field_v3(xyz, geo, feat, 0.12, interpret=True)
+    for arr in (ds, dh, feats):
+        assert np.isfinite(np.asarray(arr)).all()
+    ds_x, _, _ = xla_reference(xyz, pts, pp, ind, vn, feat, 0.12)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_x), atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_forward_parity_pallas_no_nablas_input():
+    """use_pallas=True + enable_nablas_input=False routes forward() through
+    candidate_field_v3 (_fused_density_nabla); it must match the XLA
+    ray-context path (ADVICE r2: this route had no coverage)."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=12, n_phi=24)
+    rng = np.random.default_rng(11)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+
+    def build(use_pallas):
+        m = NeuMesh(mg, D_density=2, D_color=2, W=32, geometry_dim=4,
+                    color_dim=4, multires_view=2, multires_d=4,
+                    multires_fg=1, multires_ft=1,
+                    enable_nablas_input=False,
+                    learn_indicator_weight=True, use_pallas=use_pallas)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    n = 16
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.12, 0.12, n)
+    d = jnp.stack([ang, jnp.zeros(n), jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(o, d)
+    t = jnp.linspace(0.35, 0.65, 6)
+    pts = o[:, None, :] + (near * (1 - t) + far * t)[..., None] * d[:, None, :]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    outs = {}
+    for up in (False, True):
+        m, params = build(up)
+        bound = m.bind_rays(params, o, d, near, far)
+        assert bound is not None
+        sdf, rgb = bound.forward(params, pts, dirs)
+        dens = bound.forward_density_only(params, pts)
+        outs[up] = (np.asarray(sdf), np.asarray(rgb), np.asarray(dens))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(outs[True][2], outs[False][2],
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_candidate_field_with_sentinels():
     """Padded/sentinel candidates (huge coordinates) must never be selected
     and must not produce NaN/inf in any output."""

@@ -11,8 +11,10 @@ from neumesh_tpu.mesh import MeshGrid
 from neumesh_tpu.models.neumesh.model import NeuMesh
 from neumesh_tpu.render.volume import volume_render_rays
 
-def build(use_pallas, sblk=256):
-    mesh = icosphere_mesh(radius=0.5, subdivisions=5)
+def build(use_pallas, sblk=256, subdivisions=5):
+    """subdivisions=5 -> 10,242 vertices (round-2 config);
+    subdivisions=7 -> 163,842 vertices (production scale, VERDICT r2 #3)."""
+    mesh = icosphere_mesh(radius=0.5, subdivisions=subdivisions)
     mg = MeshGrid(mesh, distance_method='grid')
     model = NeuMesh(
         mg, D_density=3, D_color=4, W=256, geometry_dim=32,

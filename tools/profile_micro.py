@@ -136,7 +136,7 @@ def main():
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
             + cell[..., 2]
-        return grid.cand_idx[flat].reshape(R, -1)
+        return grid.cell_candidates(flat).reshape(R, -1)
 
     ids_real = ctx_probe_gather(rays_o, rays_d, near, far)
     timeit("ctx: probe+gather cand lists", ctx_probe_gather,
