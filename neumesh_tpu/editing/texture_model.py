@@ -123,13 +123,33 @@ class TextureEditableNeuMesh:
             return None
         return RayBoundTextureEditable(self, bound, params)
 
+    def bind_rays_tiled(self, params, rays_o, rays_d, near, far,
+                        tile: int, n_probes: int = 0,
+                        max_candidates=None, with_features: bool = True):
+        """Tile-shared binding for the HEADLINE surface serving path
+        (VERDICT r2 #7): the main model's tile contexts + fused kernels
+        drive the scan/secant (geometry is untouched by texture edits),
+        and the edit-mask/edit-feature caches ride the same tile ids for
+        the blended color query. Returns (bound, near, far) or None."""
+        tb = self.main_model.bind_rays_tiled(
+            params["main"], rays_o, rays_d, near, far, tile=tile,
+            n_probes=n_probes, max_candidates=max_candidates,
+            with_features=with_features)
+        if tb is None:
+            return None
+        bound, near_b, far_b = tb
+        return RayBoundTextureEditable(self, bound, params), near_b, far_b
+
 
 class RayBoundTextureEditable:
     def __init__(self, editable: TextureEditableNeuMesh, bound, params):
         self.editable = editable
-        self.bound = bound                      # RayBoundNeuMesh (main)
+        self.bound = bound              # Ray/TileBoundNeuMesh (main)
         self.mesh_grid = editable.mesh_grid
         self.enable_nablas_input = editable.enable_nablas_input
+        # surface_render probes `model.model.use_pallas` to choose the
+        # fused-secant refinement; geometry comes from the main model
+        self.model = bound.model
         main = editable.main_model
         ids = bound.ctx["ids"]                  # (R, C)
         n_verts = main.num_vertices
@@ -158,6 +178,23 @@ class RayBoundTextureEditable:
 
     def forward_with_nablas(self, params, xyz):
         return self.bound.forward_with_nablas(params["main"], xyz)
+
+    def fused_secant(self, params, rays_o, rays_d, d_low, d_high,
+                     f_low, f_high, n_iters: int = 6,
+                     logit_tau: float = 0.0):
+        """Secant refinement runs entirely on the main model's geometry
+        (texture edits never move the surface)."""
+        return self.bound.fused_secant(
+            params["main"], rays_o, rays_d, d_low, d_high, f_low, f_high,
+            n_iters=n_iters, logit_tau=logit_tau)
+
+    def fused_locate(self, params, rays_o, rays_d, near, far,
+                     n_steps: int = 24, n_secant: int = 6,
+                     logit_tau: float = 0.0):
+        """Surface root location on the main model's geometry."""
+        return self.bound.fused_locate(
+            params["main"], rays_o, rays_d, near, far,
+            n_steps=n_steps, n_secant=n_secant, logit_tau=logit_tau)
 
     def forward(self, params, xyz, view_dirs):
         ed = self.editable

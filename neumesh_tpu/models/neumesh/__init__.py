@@ -62,6 +62,12 @@ def get_model(args, key=None):
         # sample block (see ops/pallas_kernels.py::field_fused)
         "use_pallas": model_args.get("use_pallas", False),
         "pallas_sample_block": model_args.get("pallas_sample_block", 256),
+        # selective-f32 serving layers (closes the bf16 parity gap; see
+        # NeuMesh.f32_layers / RayBoundNeuMesh._field_weights tags)
+        "f32_layers": tuple(model_args.get("f32_layers", ())),
+        # surface-mode serving budgets (see NeuMesh docstrings)
+        "scan_candidates": model_args.get("scan_candidates", 0),
+        "tile_kp_per_probe": model_args.get("tile_kp_per_probe", 0),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

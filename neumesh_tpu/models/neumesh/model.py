@@ -61,6 +61,9 @@ class NeuMesh:
         max_candidates: int = 96,
         pallas_sample_block: int = 256,
         f32_layers: tuple = (),
+        scan_candidates: int = 0,
+        tile_kp_per_probe: int = 0,
+        use_fused_locate: bool = False,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -93,6 +96,24 @@ class NeuMesh:
         # when compute_dtype is low precision (closes the bf16 parity
         # gap; see RayBoundNeuMesh._field_weights for the tag set)
         self.f32_layers = tuple(f32_layers)
+        # surface-mode scan/secant candidate budget: when >0 and the
+        # context is proximity-RANKED (tile contexts rank candidates by
+        # distance to the tile's centroid segment before compaction),
+        # the distance-proxy scan and secant refinement run against only
+        # the first `scan_candidates` candidates — the nearest ones —
+        # cutting the VPU-bound candidate math of the dominant kernels;
+        # the re-bracket and final color query keep the full set.
+        self.scan_candidates = scan_candidates
+        # tile-context build budget: candidates taken per probe cell
+        # (cell lists are sorted by distance from the cell center, so a
+        # prefix keeps the nearest; 0 = the grid's full Kp). Every
+        # ctx-build stage (gathers + both sorts) scales with it.
+        self.tile_kp_per_probe = tile_kp_per_probe
+        # opt-in single-program-per-tile surface root location
+        # (pallas_kernels.surface_locate) — slower than the composed
+        # scan+secant path at large ray batches on v5e; see
+        # render/ray_casting.py for the measurement
+        self.use_fused_locate = use_fused_locate
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -430,7 +451,8 @@ class NeuMesh:
             [jnp.zeros((Rt, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=-1)
         ids = jnp.where(dup, n_verts, ids)               # sentinel out dups
 
-        if ids.shape[1] > max_candidates:
+        ranked = ids.shape[1] > max_candidates
+        if ranked:
             # rank by distance to the tile's centroid segment
             o_c = jnp.mean(rays_o.reshape(Rt, T, 3), axis=1)     # (Rt, 3)
             d_c = jnp.mean(rays_d.reshape(Rt, T, 3), axis=1)
@@ -451,7 +473,12 @@ class NeuMesh:
             _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
             ids = ids[:, :max_candidates]
 
-        return self._pack_ctx(params, ids, with_features)
+        ctx = self._pack_ctx(params, ids, with_features)
+        # candidates stay in proximity order after the rank sort (no
+        # re-sort by id) -> prefix slices are nearest-first, enabling the
+        # scan_candidates fast path
+        ctx["_ranked"] = ranked
+        return ctx
 
     def bind_rays_tiled(self, params, rays_o, rays_d, near, far,
                         tile: int, n_probes: int = 0,
@@ -478,6 +505,7 @@ class NeuMesh:
         fr = far.reshape(-1, 1)
         ctx = self.make_tile_context(
             params, ro, rd, nr, fr, tile, n_probes,
+            kp_per_probe=self.tile_kp_per_probe or None,
             with_features=with_features, max_candidates=max_candidates)
         near_new, far_new = candidate_bounded_near_far_tiled(
             ctx, ro, rd, nr, fr, tile)
@@ -728,16 +756,36 @@ class RayBoundNeuMesh:
         cws += [eff(cph, "color", "ch"), cph["b"][None]]
         return tuple(dws), tuple(cws)
 
+    def _scan_budget(self):
+        """Candidate budget for scan/secant: the nearest-prefix size when
+        the context is proximity-ranked, else 0 (= full set)."""
+        cs = self.model.scan_candidates
+        if not cs or not self.ctx.get("_ranked", False):
+            return 0
+        return min(cs, self.ctx["geo"].shape[2])
+
+    def _scan_ctx_slice(self, geo=None, feat=None):
+        """(geo (B, 8, C), feat (B, C, F)) sliced to the scan budget."""
+        cs = self._scan_budget()
+        out = []
+        if geo is not None:
+            out.append(geo if not cs else geo[:, :, :cs])
+        if feat is not None:
+            out.append(feat if not cs else feat[:, :cs, :])
+        return tuple(out)
+
     def _fused_field(self, params, xyz, want: str, dirs=None):
         from ...ops.pallas_kernels import field_fused, pack_ctx_geo
         m = self.model
         if "geo" not in self.ctx:
             self.ctx["geo"] = pack_ctx_geo(self.ctx)
         if want == "distance":
-            # ds-only fast path: no MLP weights, no feature columns
-            B, C = self.ctx["geo"].shape[0], self.ctx["geo"].shape[2]
+            # ds-only fast path: no MLP weights, no feature columns;
+            # scan runs against the nearest-candidate prefix
+            (geo,) = self._scan_ctx_slice(geo=self.ctx["geo"])
+            B, C = geo.shape[0], geo.shape[2]
             return field_fused(
-                xyz, self.ctx["geo"], jnp.zeros((B, C, 1), jnp.float32),
+                xyz, geo, jnp.zeros((B, C, 1), jnp.float32),
                 m.forward_indicator_weight(params), (), want="distance",
                 sample_block=m.pallas_sample_block,
                 interpret=jax.default_backend() != "tpu")
@@ -796,10 +844,42 @@ class RayBoundNeuMesh:
         if "geo" not in self.ctx:
             self.ctx["geo"] = pack_ctx_geo(self.ctx)
         dws, _ = self._field_weights(params)
+        # root refinement also runs on the nearest-candidate prefix (the
+        # density it evaluates uses the same kNN semantics; accuracy is
+        # pinned by tests/test_surface_render + the quality gate)
+        geo, feat = self._scan_ctx_slice(
+            geo=self.ctx["geo"], feat=self.ctx["feat"][..., :m.geometry_dim])
         return secant_refine(
             rays_o, rays_d, d_low, d_high, f_low, f_high,
-            self.ctx["geo"], self.ctx["feat"][..., :m.geometry_dim],
+            geo, feat,
             m.forward_indicator_weight(params), dws, n_iters=n_iters,
+            multires_d=m.embed_fn_d.multires,
+            multires_fg=m.embed_fn_fg.multires,
+            geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
+            tile=rays_o.shape[0] // self.ctx["geo"].shape[0],
+            logit_tau=logit_tau,
+            interpret=jax.default_backend() != "tpu")
+
+    def fused_locate(self, params, rays_o, rays_d, near, far,
+                     n_steps: int = 24, n_secant: int = 6,
+                     logit_tau: float = 0.0):
+        """The ENTIRE surface root-finding pipeline (distance scan +
+        bracket + density re-bracket + secant) in one kernel program per
+        tile (ops/pallas_kernels.py::surface_locate). rays in binding
+        order; near/far (R,). Returns (d_pred, mask, mask_sign_change,
+        val0_pos)."""
+        from ...ops.pallas_kernels import pack_ctx_geo, surface_locate
+        m = self.model
+        if "geo" not in self.ctx:
+            self.ctx["geo"] = pack_ctx_geo(self.ctx)
+        dws, _ = self._field_weights(params)
+        geo, feat = self._scan_ctx_slice(
+            geo=self.ctx["geo"],
+            feat=self.ctx["feat"][..., :m.geometry_dim])
+        return surface_locate(
+            rays_o, rays_d, near, far, geo, feat,
+            m.forward_indicator_weight(params), dws,
+            n_steps=n_steps, n_secant=n_secant,
             multires_d=m.embed_fn_d.multires,
             multires_fg=m.embed_fn_fg.multires,
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
@@ -836,6 +916,25 @@ class RayBoundNeuMesh:
         density, nabla, _, _, _ = self.model._ctx_density_and_nabla(
             params, self.ctx, x)
         return self._unflat(density[..., 0]), self._unflat(nabla)
+
+    def forward_full(self, params, xyz, view_dirs):
+        """(sdf, rgb, nablas) from ONE fused 'full' kernel launch — the
+        surface render needs all three for its single per-ray query;
+        separate forward + forward_with_nablas calls would evaluate the
+        field twice. Falls back to the two-call path off the fused
+        route."""
+        m = self.model
+        if (m.use_pallas and m.enable_nablas_input
+                and view_dirs is not None):
+            x = self._flat(xyz)
+            v = self._flat(view_dirs)
+            out = self._fused_field(params, x, "full", dirs=v)
+            return (self._unflat(out[0]),
+                    self._unflat(jnp.stack(out[4:7], axis=-1)),
+                    self._unflat(jnp.stack(out[1:4], axis=-1)))
+        sdf, rgb = self.forward(params, xyz, view_dirs)
+        _, nablas = self.forward_with_nablas(params, xyz)
+        return sdf, rgb, nablas
 
     def forward(self, params, xyz, view_dirs):
         m = self.model

@@ -732,6 +732,189 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused surface location: the ENTIRE root-finding pipeline of the
+# surface render — N-step sign-change scan on the interpolated mesh
+# distance, first-crossing bracket extraction, density re-bracketing, and
+# all secant iterations on the density MLP — in ONE kernel program per
+# ray tile. Replaces a scan field_fused launch (S/sblk programs per
+# tile), XLA bracket bookkeeping, two re-bracket launches, and the
+# secant_refine launch: the per-program fixed cost amortizes over
+# ~30 field evaluations instead of 1-6, and no intermediate (R, N_steps)
+# tensors round-trip HBM. Semantics mirror
+# render.ray_casting.root_finding_surface_points with
+# refine_query_fn=density exactly (reference ray_casting.py:45-200).
+# ---------------------------------------------------------------------------
+
+
+def _locate_kernel(w1_ref, od_ref, geo_ref, feat_ref, *refs,
+                   k: int, n_steps: int, n_secant: int, multires_d: int,
+                   multires_fg: int, geometry_dim: int, dtype,
+                   logit_tau: float):
+    """od rows: [ox oy oz dx dy dz near far]; refs = [dens weights..., out].
+    Output rows: [d_pred, mask, mask_sign_change, val0_pos, 0...]."""
+    w1 = w1_ref[0]
+    od = od_ref[0].T                                   # (T, 8)
+    o0, o1, o2 = od[:, 0:1], od[:, 1:2], od[:, 2:3]
+    r0, r1, r2 = od[:, 3:4], od[:, 4:5], od[:, 5:6]
+    near, far = od[:, 6:7], od[:, 7:8]
+    geo = geo_ref[0]
+    dens_ws = refs[:-1]
+    step = (far - near) / max(n_steps - 1, 1)
+
+    def dist_at(dv):
+        x0 = o0 + dv * r0
+        x1 = o1 + dv * r1
+        x2 = o2 + dv * r2
+        ds, _ = _interp_distance(x0, x1, x2, geo, w1, k, False)
+        return ds - logit_tau
+
+    def dens_at(dv):
+        x0 = o0 + dv * r0
+        x1 = o1 + dv * r1
+        x2 = o2 + dv * r2
+        ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
+        fg = jax.lax.dot_general(
+            W, feat_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision="highest")[:, :geometry_dim]
+        dens, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
+                               dtype, False)
+        return dens - logit_tau
+
+    # ---- sign-change scan on the distance proxy: first pos->neg
+    # crossing (reference cost-matrix argmin picks the EARLIEST change;
+    # d_high/f_high = the earlier/outside endpoint). All state carried as
+    # f32 0/1 flags — Mosaic cannot round-trip i1 vectors through the
+    # loop (arith.trunci i8->i1 is unsupported).
+    f_prev = dist_at(near)
+    d_prev = near
+    one = jnp.ones_like(f_prev)
+    zero = jnp.zeros_like(f_prev)
+    val0_pos = jnp.where(f_prev > 0, one, zero)
+    found = zero
+    pos2neg = zero
+    d_high = near
+    f_high = one
+    d_low = far
+    f_low = -one
+    for j in range(1, n_steps):
+        dv = near + step * j
+        f_cur = dist_at(dv)
+        crossed = jnp.where(jnp.sign(f_prev) * jnp.sign(f_cur) < 0,
+                            one, zero)
+        cross = crossed * (1.0 - found)                # first crossing
+        d_high = d_high + cross * (d_prev - d_high)
+        f_high = f_high + cross * (f_prev - f_high)
+        d_low = d_low + cross * (dv - d_low)
+        f_low = f_low + cross * (f_cur - f_low)
+        pos2neg = pos2neg + cross * jnp.where(f_prev > 0, one, zero)
+        found = found + cross
+        d_prev = dv
+        f_prev = f_cur
+    mask = found * pos2neg * val0_pos
+
+    # ---- re-bracket the true density at half-step-widened endpoints
+    # (ray_casting.root_finding_surface_points refine_query_fn branch)
+    d_high_w = jnp.maximum(d_high - 0.5 * step, near)
+    d_low_w = jnp.minimum(d_low + 0.5 * step, far)
+    f_high_r = dens_at(d_high_w)
+    f_low_r = dens_at(d_low_w)
+    okf = jnp.where((f_high_r > 0) & (f_low_r < 0), one, zero)
+    f_high = f_high + okf * (f_high_r - f_high)
+    f_low = f_low + okf * (f_low_r - f_low)
+    d_high = d_high + okf * (d_high_w - d_high)
+    d_low = d_low + okf * (d_low_w - d_low)
+
+    # ---- secant iterations on the density (run_secant_method exactly)
+    def pred():
+        denom = f_high - f_low
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return -f_low * (d_high - d_low) / denom + d_low
+
+    d_pred = pred()
+    for _ in range(n_secant):
+        f_mid = dens_at(d_pred)
+        ind_low = f_mid < 0
+        d_low = jnp.where(ind_low, d_pred, d_low)
+        f_low = jnp.where(ind_low, f_mid, f_low)
+        d_high = jnp.where(~ind_low, d_pred, d_high)
+        f_high = jnp.where(~ind_low, f_mid, f_high)
+        d_pred = pred()
+
+    zeros = jnp.zeros_like(d_pred)
+    refs[-1][0] = jnp.concatenate(
+        [d_pred, mask, found, val0_pos,
+         zeros, zeros, zeros, zeros], axis=-1).T       # (8, T)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "n_steps", "n_secant", "multires_d", "multires_fg",
+    "geometry_dim", "dtype", "tile", "logit_tau", "interpret"))
+def surface_locate(rays_o, rays_d, near, far, geo, feat, w1, dens_ws, *,
+                   n_steps: int = 24, n_secant: int = 6, k: int = 8,
+                   multires_d: int = 8, multires_fg: int = 2,
+                   geometry_dim: int = 32, dtype=None, tile: int = 1,
+                   logit_tau: float = 0.0, interpret: bool = False):
+    """Fused surface-root location (see _locate_kernel).
+
+    rays_o/d: (R, 3) in binding order (R//tile contexts); near/far: (R,).
+    Returns (d_pred (R,), mask (R,) bool, mask_sign_change (R,) bool,
+    val0_pos (R,) bool)."""
+    R = rays_o.shape[0]
+    B = geo.shape[0]
+    T = R // B
+    C = geo.shape[2]
+    cpad = (-C) % 128
+    if cpad:
+        fill = jnp.zeros((B, 8, cpad), jnp.float32)
+        fill = fill.at[:, 6, :].set(1e12)
+        geo = jnp.concatenate([geo, fill], axis=2)
+        feat = jnp.pad(feat, ((0, 0), (0, cpad), (0, 0)))
+
+    def rows8(cols):
+        m = jnp.stack(cols, axis=-1)                   # (R, n)
+        m = jnp.pad(m, ((0, 0), (0, 8 - m.shape[-1])))
+        return jnp.swapaxes(m.reshape(B, T, 8), 1, 2)
+
+    od = rows8([rays_o[:, 0], rays_o[:, 1], rays_o[:, 2],
+                rays_d[:, 0], rays_d[:, 1], rays_d[:, 2],
+                near, far])
+    w1_arr = jnp.full((1,), w1, jnp.float32)
+    dens_ws = tuple(dens_ws)
+    feat_t = jnp.swapaxes(feat, 1, 2)                  # (B, F, C)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _locate_kernel, k=k, n_steps=n_steps, n_secant=n_secant,
+            multires_d=multires_d, multires_fg=multires_fg,
+            geometry_dim=geometry_dim, dtype=dtype, logit_tau=logit_tau),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, C + cpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feat.shape[-1], C + cpad),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] + [const_spec(a) for a in dens_ws],
+        out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, T), jnp.float32),
+        interpret=interpret,
+    )(w1_arr, od, geo, feat_t, *dens_ws)
+    d_pred = out[:, 0, :].reshape(R)
+    mask = out[:, 1, :].reshape(R) > 0.5
+    sign_change = out[:, 2, :].reshape(R) > 0.5
+    val0_pos = out[:, 3, :].reshape(R) > 0.5
+    return d_pred, mask, sign_change, val0_pos
+
+
+# ---------------------------------------------------------------------------
 # Fused secant refinement: all N secant iterations of the surface-render
 # root refinement in ONE kernel program per ray tile. The alternative —
 # one host-level field_fused call per iteration — launches B programs of

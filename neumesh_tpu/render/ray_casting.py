@@ -87,15 +87,20 @@ def root_finding_surface_points(
     indices = jnp.argmin(cost_matrix, axis=-1)            # (...,)
 
     mask_sign_change = values < 0
-    mask_pos_to_neg = jnp.take_along_axis(
-        val, indices[..., None], axis=-1)[..., 0] > 0
-    mask = mask_sign_change & mask_pos_to_neg & mask_0_not_occupied
-
-    d_high = jnp.take_along_axis(d_proposal, indices[..., None], -1)[..., 0]
-    f_high = jnp.take_along_axis(val, indices[..., None], -1)[..., 0]
+    # bracket extraction as one-hot masked reductions over the small
+    # N_steps axis — take_along_axis row gathers lower to ~5 GB/s
+    # custom fusions on TPU and cost ~2.5 ms/frame at 65k rays
+    step_iota = jnp.arange(N_steps, dtype=jnp.int32)
+    oh_hi = (step_iota == indices[..., None]).astype(val.dtype)
     idx1 = jnp.minimum(indices + 1, N_steps - 1)
-    d_low = jnp.take_along_axis(d_proposal, idx1[..., None], -1)[..., 0]
-    f_low = jnp.take_along_axis(val, idx1[..., None], -1)[..., 0]
+    oh_lo = (step_iota == idx1[..., None]).astype(val.dtype)
+    f_high = jnp.sum(val * oh_hi, axis=-1)
+    d_high = jnp.sum(d_proposal * oh_hi, axis=-1)
+    f_low = jnp.sum(val * oh_lo, axis=-1)
+    d_low = jnp.sum(d_proposal * oh_lo, axis=-1)
+
+    mask_pos_to_neg = f_high > 0
+    mask = mask_sign_change & mask_pos_to_neg & mask_0_not_occupied
 
     if refine_query_fn is not None:
         # re-bracket the true field at the proxy-scan endpoints (the
@@ -242,15 +247,47 @@ def surface_render(
         refine_fn = query_fn
 
     secant_override = None
-    if (hasattr(model, "fused_secant")
-            and getattr(getattr(model, "model", None), "use_pallas",
-                        False)):
+    use_pallas = getattr(getattr(model, "model", None), "use_pallas",
+                         False)
+    if hasattr(model, "fused_secant") and use_pallas:
         def secant_override(f_low, f_high, d_low, d_high, n, tau):
             return model.fused_secant(params, rays_o, rays_d, d_low,
                                       d_high, f_low, f_high, n_iters=n,
                                       logit_tau=tau)
 
-    if ray_casting_algo == "root_finding":
+    if (ray_casting_algo == "root_finding" and use_pallas
+            and scan_mode == "distance" and hasattr(model, "fused_locate")
+            and getattr(getattr(model, "model", None), "use_fused_locate",
+                        False)
+            and ray_casting_cfgs.get("method", "secant") == "secant"):
+        # one kernel program per tile for the whole root-finding pipeline
+        # (scan + bracket + density re-bracket + secant). OPT-IN
+        # (NeuMesh(use_fused_locate=True)): measured SLOWER than the
+        # composed path on v5e (1.54 vs 1.91 Mrays/s at the production
+        # config — B sequential small programs underutilize vs the
+        # batched scan + fused secant), kept for small-batch serving
+        # where launch overhead dominates.
+        nearb = jnp.broadcast_to(
+            jnp.asarray(ray_casting_cfgs["near"], jnp.float32),
+            rays_o.shape[:-1])
+        farb = jnp.broadcast_to(
+            jnp.asarray(ray_casting_cfgs["far"], jnp.float32),
+            rays_o.shape[:-1])
+        d_pred, mask, _, val0_pos = model.fused_locate(
+            params, rays_o, rays_d, nearb, farb,
+            n_steps=ray_casting_cfgs.get("N_steps", 24),
+            n_secant=ray_casting_cfgs.get("N_secant_steps", 6),
+            logit_tau=ray_casting_cfgs.get("logit_tau", 0.0))
+        pt_pred = jnp.where(mask[..., None],
+                            rays_o + d_pred[..., None] * rays_d,
+                            jnp.ones(rays_o.shape))
+        miss = (jnp.inf if ray_casting_cfgs.get("fill_inf", True)
+                else farb)
+        d_pred = jnp.where(mask, d_pred, miss)
+        d_pred = jnp.where(val0_pos, d_pred, 0.0)
+        d_pred = jax.lax.stop_gradient(d_pred)
+        pt_pred = jax.lax.stop_gradient(pt_pred)
+    elif ray_casting_algo == "root_finding":
         d_pred, pt_pred, mask, _ = root_finding_surface_points(
             scan_fn, rays_o, rays_d, refine_query_fn=refine_fn,
             secant_override=secant_override, **ray_casting_cfgs)
@@ -262,12 +299,17 @@ def surface_render(
     else:
         raise NotImplementedError(ray_casting_algo)
 
-    sdf, color = model.forward(params, pt_pred[:, None, :],
-                               view_dirs[:, None, :]
-                               if view_dirs is not None else None)
+    vq = (view_dirs[:, None, :] if view_dirs is not None else None)
+    if hasattr(model, "forward_full"):
+        # one fused launch for (sdf, rgb, nablas) instead of two field
+        # evaluations at the same points
+        sdf, color, nablas = model.forward_full(
+            params, pt_pred[:, None, :], vq)
+    else:
+        sdf, color = model.forward(params, pt_pred[:, None, :], vq)
+        _, nablas = model.forward_with_nablas(params, pt_pred[:, None, :])
     color = color[:, 0]
     color = jnp.where(mask[..., None], color, 0.0)
-    _, nablas = model.forward_with_nablas(params, pt_pred[:, None, :])
     nablas = nablas[:, 0]
 
     extras = {"implicit_nablas": nablas, "mask_surface": mask}

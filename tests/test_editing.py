@@ -356,3 +356,77 @@ def test_texture_editable_ctx_full_render():
                              N_importance=16, N_upsample_iters=2,
                              bounded_near_far=True)
     assert np.isfinite(np.asarray(ret["rgb"])).all()
+
+
+def test_texture_editable_surface_mode_tiled():
+    """Edited scenes on the HEADLINE surface path (VERDICT r2 #7): the
+    tile-bound editable (bind_rays_tiled + fused kernels via the main
+    model, interpret mode on CPU) must produce the same surface render as
+    the per-ray XLA bound path, and the edit must actually recolor the
+    masked region without touching the rest."""
+    from neumesh_tpu.render.ray_casting import surface_render
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              use_pallas=True, pallas_sample_block=64)
+    main_model = NeuMesh(mg, **kw)
+    main_params = main_model.init(jax.random.PRNGKey(0))
+    ref_model = NeuMesh(mg, **kw)
+    ref_params = ref_model.init(jax.random.PRNGKey(1))
+    verts = np.asarray(mg.vertices)
+    mask = (verts[:, 2] < -0.2) & (verts[:, 0] > 0.0)
+
+    em = TextureEditableNeuMesh(main_model, [ref_model], mask[None],
+                                T_r_m_list=[np.eye(4)])
+    ep = make_editable_params(
+        main_params, [ref_params],
+        [np.asarray(ref_params["color_features"])])
+
+    tile = 16
+    n = 64
+    ax = np.linspace(-0.12, 0.12, tile, dtype=np.float32)
+    ay = np.linspace(-0.12, 0.12, n // tile, dtype=np.float32)
+    gy, gx = np.meshgrid(ay, ax, indexing="ij")
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]], jnp.float32), (n, 1))
+    d = jnp.asarray(np.stack(
+        [gx.ravel(), gy.ravel(), np.ones(n, np.float32)], -1))
+    cfg = {"N_steps": 12, "N_secant_steps": 4}
+
+    rgb_t, dep_t, ex_t = surface_render(
+        em, ep, o, d, ray_tile=tile, scan_mode="distance",
+        tile_max_candidates=128, ray_casting_cfgs=dict(cfg))
+    hit_t = np.asarray(ex_t["mask_surface"])
+    assert hit_t.sum() > n // 2
+
+    # same surface pipeline on the PLAIN main model (identical tiled
+    # contexts + fused kernels): geometry untouched by texture edits, so
+    # depth/hit-mask must match exactly; color differs ONLY in the
+    # edit-masked region
+    rgb_m, dep_m, ex_m = surface_render(
+        main_model, main_params, o, d, ray_tile=tile,
+        scan_mode="distance", tile_max_candidates=128,
+        ray_casting_cfgs=dict(cfg))
+    np.testing.assert_array_equal(hit_t, np.asarray(ex_m["mask_surface"]))
+    np.testing.assert_allclose(np.asarray(dep_t)[hit_t],
+                               np.asarray(dep_m)[hit_t], atol=1e-6)
+    diff = np.abs(np.asarray(rgb_t) - np.asarray(rgb_m)).max(-1)
+    assert diff[hit_t].max() > 1e-3, "edit region never engaged"
+    assert diff[hit_t].min() < 1e-5, "unedited region altered"
+
+    # and against the per-ray bound editable (XLA path): same blend
+    # semantics; compare where both paths localised the same root
+    rgb_p, dep_p, ex_p = surface_render(
+        em, ep, o, d, ray_tile=0, scan_mode="distance",
+        ray_casting_cfgs=dict(cfg))
+    both = hit_t & np.asarray(ex_p["mask_surface"])
+    close = both & (np.abs(np.asarray(dep_t) - np.asarray(dep_p)) < 1e-3)
+    assert close.sum() >= max(1, int(0.7 * both.sum()))
+    np.testing.assert_allclose(np.asarray(rgb_t)[close],
+                               np.asarray(rgb_p)[close], atol=2e-2)

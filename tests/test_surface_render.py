@@ -310,3 +310,102 @@ def test_fused_secant_matches_reference_loop():
     # sphere, shifting one root by <1e-3 on this noisy untrained field
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3)
+
+
+def test_scan_candidate_budget_matches_full():
+    """The round-3 serving budgets — scan/secant on the nearest-candidate
+    prefix (scan_candidates) and the tile-ctx build on per-cell list
+    prefixes (tile_kp_per_probe) — must localise the same roots as the
+    full-budget configuration on a real NeuMesh (interpret kernels)."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              use_pallas=True, pallas_sample_block=64)
+
+    def render_with(**model_kw):
+        m = NeuMesh(mg, **kw, **model_kw)
+        params = m.init(jax.random.PRNGKey(0))
+        o, d = rays(64)
+        return surface_render(
+            m, params, o, d, ray_tile=16, scan_mode="distance",
+            tile_max_candidates=64,
+            ray_casting_cfgs={"N_steps": 16, "N_secant_steps": 4})
+
+    rgb_full, dep_full, ex_full = render_with()
+    rgb_fast, dep_fast, ex_fast = render_with(scan_candidates=32,
+                                              tile_kp_per_probe=12)
+    hit_full = np.asarray(ex_full["mask_surface"])
+    hit_fast = np.asarray(ex_fast["mask_surface"])
+    # budgets may flip a grazing ray at the silhouette; interior agrees
+    agree = hit_full == hit_fast
+    assert agree.mean() > 0.95, agree.mean()
+    both = hit_full & hit_fast
+    assert both.sum() > 32
+    np.testing.assert_allclose(np.asarray(dep_fast)[both],
+                               np.asarray(dep_full)[both], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rgb_fast)[both],
+                               np.asarray(rgb_full)[both], atol=2e-2)
+
+
+def test_fused_locate_matches_composed_path():
+    """surface_locate (the whole scan+bracket+rebracket+secant pipeline in
+    one kernel program per tile) must reproduce the composed XLA path —
+    same hits, depths, colors, and miss-fill semantics."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              pallas_sample_block=64)
+
+    def coherent(n, w):
+        h = n // w
+        ax = np.linspace(-0.12, 0.12, w, dtype=np.float32)
+        ay = np.linspace(-0.12, 0.12, h, dtype=np.float32)
+        gy, gx = np.meshgrid(ay, ax, indexing="ij")
+        o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]], jnp.float32), (n, 1))
+        d = jnp.asarray(np.stack(
+            [gx.ravel(), gy.ravel(), np.ones(n, np.float32)], -1))
+        return o, d
+
+    o, d = coherent(64, 16)
+    cfg = {"N_steps": 16, "N_secant_steps": 4}
+
+    mp_ = NeuMesh(mg, use_pallas=True, use_fused_locate=True, **kw)
+    pp = mp_.init(jax.random.PRNGKey(0))
+    rgb_f, dep_f, ex_f = surface_render(
+        mp_, pp, o, d, ray_tile=16, scan_mode="distance",
+        tile_max_candidates=64, ray_casting_cfgs=dict(cfg))
+    mx = NeuMesh(mg, use_pallas=False, **kw)
+    px = mx.init(jax.random.PRNGKey(0))
+    rgb_x, dep_x, ex_x = surface_render(
+        mx, px, o, d, ray_tile=16, scan_mode="distance",
+        tile_max_candidates=64, ray_casting_cfgs=dict(cfg))
+
+    hf = np.asarray(ex_f["mask_surface"])
+    hx = np.asarray(ex_x["mask_surface"])
+    np.testing.assert_array_equal(hf, hx)
+    df, dx = np.asarray(dep_f), np.asarray(dep_x)
+    assert (np.isfinite(df) == np.isfinite(dx)).all()
+    both = hf & hx
+    np.testing.assert_allclose(df[both], dx[both], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_f)[both],
+                               np.asarray(rgb_x)[both], atol=1e-5)

@@ -11,9 +11,11 @@ from neumesh_tpu.mesh import MeshGrid
 from neumesh_tpu.models.neumesh.model import NeuMesh
 from neumesh_tpu.render.volume import volume_render_rays
 
-def build(use_pallas, sblk=256, subdivisions=5):
+def build(use_pallas, sblk=256, subdivisions=5, **model_kw):
     """subdivisions=5 -> 10,242 vertices (round-2 config);
-    subdivisions=7 -> 163,842 vertices (production scale, VERDICT r2 #3)."""
+    subdivisions=7 -> 163,842 vertices (production scale, VERDICT r2 #3).
+    model_kw: extra NeuMesh knobs (scan_candidates, tile_kp_per_probe,
+    f32_layers, ...)."""
     mesh = icosphere_mesh(radius=0.5, subdivisions=subdivisions)
     mg = MeshGrid(mesh, distance_method='grid')
     model = NeuMesh(
@@ -22,7 +24,7 @@ def build(use_pallas, sblk=256, subdivisions=5):
         multires_ft=2, enable_nablas_input=True,
         learn_indicator_weight=True, speed_factor=10.0,
         compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
-        pallas_sample_block=sblk)
+        pallas_sample_block=sblk, **model_kw)
     params = model.init(jax.random.PRNGKey(0))
     return model, params
 

@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/qgate")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in workdir")
+    ap.add_argument("--f32-layers", default="d0,dh,c0,ch",
+                    help="comma-separated selective-f32 layer tags for "
+                         "the benchmarked serving config (see "
+                         "NeuMesh.f32_layers; empty = plain bf16)")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -188,11 +192,13 @@ def main():
     from neumesh_tpu.render.ray_casting import surface_render
     from neumesh_tpu.render.volume import volume_render_rays
 
-    def make_model(use_pallas, dtype):
+    def make_model(use_pallas, dtype, f32_layers=()):
         cfg = neumesh_config(workdir, args.iters, mesh_path, neus_dir)
         cfg.model["use_pallas"] = use_pallas
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
+        if f32_layers:
+            cfg.model["f32_layers"] = tuple(f32_layers)
         model, params, *_ = build_framework(cfg, "NeuMesh")
         ck = load_checkpoint(os.path.join(nm_dir, "ckpts", "latest.ckpt"))
         params = restore_into(params, ck["model"])
@@ -224,22 +230,37 @@ def main():
             return c[inv]
         return r
 
+    serving_f32_layers = tuple(
+        t for t in (args.f32_layers or "").split(",") if t)
+
     m32, p32 = make_model(False, "f32")
     eval_renders(volume_one(m32, p32), "volume_f32")
     m16, p16 = make_model(True, "bf16")
     eval_renders(volume_one(m16, p16), "volume_bf16")
-    eval_renders(surface_one(m16, p16), "surface_fast")
+    # surface-mode parity anchor: the f32 fused-kernel surface render
+    # (surface rendering is a different integral than volume rendering,
+    # so the serving config is gated against THIS, not the volume image)
+    mp32, pp32 = make_model(True, "f32")
+    eval_renders(surface_one(mp32, pp32), "surface_f32")
+    # the BENCHMARKED serving config: bf16 + selective-f32 layers
+    msrv, psrv = make_model(True, "bf16", serving_f32_layers)
+    eval_renders(surface_one(msrv, psrv), "surface_fast")
 
+    results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(
         results["volume_bf16"] - results["volume_f32"], 3)
+    results["surface_serving_delta_db"] = round(
+        results["surface_fast"] - results["surface_f32"], 3)
     results["surface_delta_db"] = round(
         results["surface_fast"] - results["volume_bf16"], 3)
-    # bf16 is the throughput mode: the cast itself costs ~0.2-0.35 dB
-    # on this scene (the fused Pallas kernel in f32 matches the XLA f32
-    # path to the same PSNR — parity claims use the f32 mode). Gate the
-    # serving mode at 0.5 dB and the surface path against the SAME
-    # serving mode.
-    results["gate_bf16"] = bool(abs(results["bf16_delta_db"]) <= 0.5)
+    # Gates (north star: parity within +-0.1 dB):
+    #   gate_bf16    — the benchmarked serving config must match its own
+    #                  f32 parity mode within 0.1 dB (selective-f32
+    #                  layers close the plain-bf16 ~0.26 dB gap)
+    #   gate_surface — surface mode must not lose >1 dB vs the volume
+    #                  serving path on GT PSNR
+    results["gate_bf16"] = bool(
+        abs(results["surface_serving_delta_db"]) <= 0.1)
     results["gate_surface"] = bool(results["surface_delta_db"] >= -1.0)
     print(json.dumps(results))
     with open(os.path.join(workdir, "quality_gate.json"), "w") as f:

@@ -1,0 +1,98 @@
+"""Sweep the round-3 surface-serving knobs on TPU.
+
+Measures Mrays/s of the bench.py headline configuration across
+(scan_candidates, tile_kp_per_probe, f32_layers, secant iters) variants.
+    python tools/sweep_surface_knobs.py [--subdiv 7] [--n 65536]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+cache_dir = os.path.expanduser('~/.cache/neumesh_tpu_jax')
+jax.config.update('jax_compilation_cache_dir', cache_dir)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_sweep import build, rays  # noqa: E402
+from neumesh_tpu.ops.rays import block_order_indices  # noqa: E402
+from neumesh_tpu.render.ray_casting import surface_render  # noqa: E402
+
+
+def bench_cfg(n, subdiv, secant=6, iters=10, sblk=512, max_cand=256,
+              tile=128, bh=8, bw=16, **model_kw):
+    model, params = build(use_pallas=True, sblk=sblk, subdivisions=subdiv,
+                          **model_kw)
+    o, d = rays(n)
+    side = int(n ** 0.5)
+    perm, _ = block_order_indices(side, side, bh, bw)
+    o, d = o[perm], d[perm]
+    mg = model.mesh_grid
+
+    @jax.jit
+    def render(params, o, d, bufs):
+        with mg.bound_buffers(bufs):
+            c, dep, _ = surface_render(
+                model, params, o, d, ray_tile=tile, scan_mode="distance",
+                tile_max_candidates=max_cand,
+                ray_casting_cfgs={"N_steps": 24,
+                                  "N_secant_steps": secant})
+        return c
+
+    bufs = mg.device_buffers()
+    render(params, o, d, bufs).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = render(params, o, d, bufs)
+    out.block_until_ready()
+    return n * iters / (time.perf_counter() - t0) / 1e6
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdiv", type=int, default=7)
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--variants", default="base,scan128,kp12,combo,"
+                                          "combo_f32heads")
+    args = ap.parse_args()
+
+    VARIANTS = {
+        "base": {},
+        "scan128": {"scan_candidates": 128},
+        "scan96": {"scan_candidates": 96},
+        "kp12": {"tile_kp_per_probe": 12},
+        "kp16": {"tile_kp_per_probe": 16},
+        "combo": {"scan_candidates": 128, "tile_kp_per_probe": 12},
+        "combo_f32heads": {"scan_candidates": 128, "tile_kp_per_probe": 12,
+                           "f32_layers": ("d0", "dh", "c0", "ch")},
+        "combo_f32all": {"scan_candidates": 128, "tile_kp_per_probe": 12,
+                         "f32_layers": ("density", "color")},
+        "combo_mc128": {"tile_kp_per_probe": 12, "max_cand": 128},
+        "combo_mc128_sblk1024": {"tile_kp_per_probe": 12, "max_cand": 128,
+                                 "sblk": 1024},
+        "combo_mc192": {"tile_kp_per_probe": 12, "max_cand": 192,
+                        "scan_candidates": 128},
+        "combo_mc128_f32heads": {"tile_kp_per_probe": 12, "max_cand": 128,
+                                 "f32_layers": ("d0", "dh", "c0", "ch")},
+        "combo_mc128_t256": {"tile_kp_per_probe": 12, "max_cand": 128,
+                             "tile": 256, "bh": 16, "bw": 16},
+        "fast": {"tile_kp_per_probe": 12, "max_cand": 128, "sblk": 1024,
+                 "secant": 4},
+        "fast6": {"tile_kp_per_probe": 12, "max_cand": 128, "sblk": 1024},
+        "fast_f32heads": {"tile_kp_per_probe": 12, "max_cand": 128,
+                          "sblk": 1024, "secant": 4,
+                          "f32_layers": ("d0", "dh", "c0", "ch")},
+        "fast_f32all": {"tile_kp_per_probe": 12, "max_cand": 128,
+                        "sblk": 1024, "secant": 4,
+                        "f32_layers": ("density", "color")},
+    }
+    for name in args.variants.split(","):
+        kw = VARIANTS[name]
+        mr = bench_cfg(args.n, args.subdiv, **kw)
+        print(json.dumps({"variant": name, "mrays": round(mr, 4),
+                          **{k: str(v) for k, v in kw.items()}}),
+              flush=True)

@@ -52,11 +52,45 @@ for f in files:
         if e.get("ph") == "X" and e.get("pid") in pid_dev:
             ev.append(e)
 agg = collections.Counter()
+flops_by = collections.Counter()
+bytes_by = collections.Counter()
 total = 0.0
+top = 0.0
 for e in ev:
-    src = e.get("args", {}).get("source", e.get("name", "?"))
-    agg[src] += e.get("dur", 0)
-    total += e.get("dur", 0)
+    args = e.get("args", {})
+    src = args.get("source", e.get("name", "?"))
+    dur = e.get("dur", 0)
+    agg[src] += dur
+    total += dur
+    # the jit_render parent event spans the frame; children carry
+    # model_flops/bytes_accessed
+    if str(e.get("name", "")).startswith("jit_render"):
+        top = max(top, dur)
+        continue
+    try:
+        flops_by[src] += float(args.get("model_flops", 0) or 0)
+    except (TypeError, ValueError):
+        pass
+    try:
+        bytes_by[src] += float(args.get("bytes_accessed", 0) or 0)
+    except (TypeError, ValueError):
+        pass
 print(f"total device us: {total:.0f}")
 for src, dur in agg.most_common(18):
     print(f"{dur/1e3:9.2f} ms  {dur/max(total,1)*100:5.1f}%  {src}")
+gf = sum(flops_by.values())
+gb = sum(bytes_by.values())
+frame_s = (top or total / 2) / 1e6
+print(f"\nframe: {frame_s*1e3:.2f} ms   model_flops: {gf/1e9:.1f} GFLOP "
+      f"-> {gf/max(frame_s,1e-9)/1e12:.1f} TFLOP/s   "
+      f"bytes: {gb/1e9:.2f} GB -> {gb/max(frame_s,1e-9)/1e9:.0f} GB/s")
+print("top flops sources:")
+for src, fl in flops_by.most_common(6):
+    dur = agg[src]
+    print(f"  {fl/1e9:8.1f} GFLOP  {dur/1e3:8.2f} ms  "
+          f"{fl/max(dur*1e-6,1e-9)/1e12:6.1f} TFLOP/s  {src}")
+print("top bytes sources:")
+for src, b in bytes_by.most_common(6):
+    dur = agg[src]
+    print(f"  {b/1e9:8.2f} GB     {dur/1e3:8.2f} ms  "
+          f"{b/max(dur*1e-6,1e-9)/1e9:6.0f} GB/s   {src}")

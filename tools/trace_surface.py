@@ -1,4 +1,9 @@
-"""Device-trace surface_render; aggregate device time by source line."""
+"""Device-trace surface_render; aggregate device time by source line.
+
+Mirrors the bench.py headline configuration (pixel-block ray ordering,
+distance scan + fused secant). Usage:
+    python tools/trace_surface.py [tile] [steps] [n] [scan] [subdiv] [secant]
+"""
 import glob, gzip, json, os, sys, collections, time
 import jax, jax.numpy as jnp
 cache_dir = os.path.expanduser('~/.cache/neumesh_tpu_jax')
@@ -8,26 +13,39 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.bench_sweep import build, rays
 from neumesh_tpu.render.ray_casting import surface_render
+from neumesh_tpu.ops.rays import block_order_indices
 
-tile = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-steps = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+tile = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
 scan = sys.argv[4] if len(sys.argv) > 4 else "distance"
+subdiv = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+secant = int(sys.argv[6]) if len(sys.argv) > 6 else 6
+scan_c = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+kp = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 
-model, params = build(True, 512)
+model, params = build(True, 512, subdivisions=subdiv,
+                      scan_candidates=scan_c, tile_kp_per_probe=kp)
 o, d = rays(n)
+side = int(n ** 0.5)
+perm, _ = block_order_indices(side, side, 8, 16)
+o, d = o[perm], d[perm]
+mg = model.mesh_grid
 
 @jax.jit
-def render(params, o, d):
-    c, dep, ex = surface_render(
-        model, params, o, d, ray_tile=tile, scan_mode=scan,
-        ray_casting_cfgs={"N_steps": steps})
+def render(params, o, d, bufs):
+    with mg.bound_buffers(bufs):
+        c, dep, ex = surface_render(
+            model, params, o, d, ray_tile=tile, scan_mode=scan,
+            tile_max_candidates=256,
+            ray_casting_cfgs={"N_steps": steps, "N_secant_steps": secant})
     return c
 
-render(params, o, d).block_until_ready()
+bufs = mg.device_buffers()
+render(params, o, d, bufs).block_until_ready()
 t0=time.perf_counter()
 for _ in range(5):
-    out = render(params, o, d)
+    out = render(params, o, d, bufs)
 out.block_until_ready()
 wall=(time.perf_counter()-t0)/5
 print(f"wall: {wall*1000:.1f} ms, {n/wall/1e6:.4f} Mrays/s", flush=True)
@@ -35,7 +53,7 @@ print(f"wall: {wall*1000:.1f} ms, {n/wall/1e6:.4f} Mrays/s", flush=True)
 trace_dir = "/tmp/jaxtrace_s"
 os.system(f"rm -rf {trace_dir}")
 jax.profiler.start_trace(trace_dir)
-render(params, o, d).block_until_ready()
+render(params, o, d, bufs).block_until_ready()
 jax.profiler.stop_trace()
 
 files = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
@@ -56,5 +74,5 @@ for e in ev:
     agg[src] += e.get("dur", 0)
     total += e.get("dur", 0)
 print(f"total device us: {total:.0f}")
-for src, dur in agg.most_common(20):
+for src, dur in agg.most_common(25):
     print(f"{dur/1e3:9.2f} ms  {dur/max(total,1)*100:5.1f}%  {src}")
