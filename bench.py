@@ -56,7 +56,8 @@ def main():
     n_dev = jax.local_device_count()
     dev_mesh = get_device_mesh(n_dev) if n_dev > 1 else None
 
-    def bench_surface(model, params, n_rays, tile, max_cand, iters=10):
+    def bench_surface(model, params, n_rays, tile, max_cand, iters=10,
+                      secant=4):
         o_s, d_s = rays(n_rays)
         side = int(n_rays ** 0.5)
         perm, _ = block_order_indices(side, side, 8, 16)
@@ -69,7 +70,8 @@ def main():
                 c, dep, _ = sharded_surface_render(
                     model, params, o, d, mesh=dev_mesh, ray_tile=tile,
                     scan_mode="distance", tile_max_candidates=max_cand,
-                    ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
+                    ray_casting_cfgs={"N_steps": 24,
+                                      "N_secant_steps": secant})
             return c
 
         bufs = mg.device_buffers()
@@ -80,40 +82,57 @@ def main():
         out.block_until_ready()
         return n_rays * iters / (time.perf_counter() - t0) / 1e6
 
+    # the quality-gated serving configuration (tools/quality_gate.py:
+    # surface_fast within 0.1 dB of the f32 surface parity anchor):
+    # bf16 + selective-f32 first/head layers, 12 candidates per probe
+    # cell, 128-candidate ranked tile contexts, 4 secant iters
+    SERVING = dict(tile_kp_per_probe=12, sblk=1024,
+                   f32_layers=("d0", "dh", "c0", "ch"))
+
     # ---- headline: surface mode at production mesh scale, 65536
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate
     # caches need compact ray bundles)
-    model7, params7 = build(use_pallas=True, sblk=512, subdivisions=7)
+    model7, params7 = build(use_pallas=True, subdivisions=7, **SERVING)
     surf_mrays = bench_surface(model7, params7, 65536, tile=128,
-                               max_cand=256)
+                               max_cand=128)
     n_vertices = model7.num_vertices
 
-    # ---- secondary: the round-2 10k-vertex configuration
-    model5, params5 = build(use_pallas=True, sblk=512, subdivisions=5)
+    # ---- secondary: the 10k-vertex scaffold (round-over-round
+    # comparability with BENCH_r02)
+    model5, params5 = build(use_pallas=True, subdivisions=5, **SERVING)
     surf_mrays_10k = bench_surface(model5, params5, 65536, tile=128,
-                                   max_cand=256)
+                                   max_cand=128)
 
-    # ---- secondary: full volume path at production mesh scale
+    # ---- secondary: full volume path at production mesh scale (its own
+    # serving build: plain bf16 kernels — the surface config's selective
+    # f32 layers cost the volume path ~25% for a quality mode it does not
+    # gate on; tile=64 contexts over 8x8 pixel blocks, scored by
+    # tools/quality_gate.py volume_bf16)
+    model7v, params7v = build(use_pallas=True, sblk=512, subdivisions=7,
+                              tile_kp_per_probe=12)
     n_vol = 16384
     o_v, d_v = rays(n_vol)
-    mg7 = model7.mesh_grid
+    side_v = int(n_vol ** 0.5)
+    perm_v, _ = block_order_indices(side_v, side_v, 8, 8)
+    o_v, d_v = o_v[perm_v], d_v[perm_v]
+    mg7 = model7v.mesh_grid
 
     @jax.jit
     def render_volume(params, o, d, mesh_bufs):
         with mg7.bound_buffers(mesh_bufs):
             ret = volume_render_rays(
-                model7, params, o, d, jax.random.PRNGKey(0),
+                model7v, params, o, d, jax.random.PRNGKey(0),
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
-                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=16)
+                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64)
         return ret["rgb"]
 
     bufs7 = mg7.device_buffers()
-    render_volume(params7, o_v, d_v, bufs7).block_until_ready()
+    render_volume(params7v, o_v, d_v, bufs7).block_until_ready()
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render_volume(params7, o_v, d_v, bufs7)
+        out = render_volume(params7v, o_v, d_v, bufs7)
     out.block_until_ready()
     vol_mrays = n_vol * iters / (time.perf_counter() - t0) / 1e6
 

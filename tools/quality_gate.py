@@ -195,6 +195,10 @@ def main():
     def make_model(use_pallas, dtype, f32_layers=()):
         cfg = neumesh_config(workdir, args.iters, mesh_path, neus_dir)
         cfg.model["use_pallas"] = use_pallas
+        if use_pallas:
+            # the bench.py serving knobs (sweep_surface_knobs 'fast')
+            cfg.model["tile_kp_per_probe"] = 12
+            cfg.model["pallas_sample_block"] = 1024
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:
@@ -204,15 +208,24 @@ def main():
         params = restore_into(params, ck["model"])
         return model, params
 
-    def volume_one(model, params):
+    def volume_one(model, params, tile=16, blocks=None):
+        perm = inv = None
+        if blocks is not None:
+            from neumesh_tpu.ops.rays import block_order_indices
+            ds0 = get_data(mcfg, downscale=1)
+            perm, inv = block_order_indices(ds0.H, ds0.W, *blocks)
+
         @jax.jit
         def r(ro, rd):
-            return volume_render_rays(
+            if perm is not None:
+                ro, rd = ro[perm], rd[perm]
+            out = volume_render_rays(
                 model, params, ro, rd, jax.random.PRNGKey(0),
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True,
-                ray_tile=16)["rgb"]
+                ray_tile=tile)["rgb"]
+            return out if inv is None else out[inv]
         return r
 
     def surface_one(model, params):
@@ -223,10 +236,11 @@ def main():
         @jax.jit
         def r(ro, rd):
             # pixel-block tiling: compact ray bundles per shared cache
+            # (the bench.py headline configuration)
             c, _, _ = surface_render(
                 model, params, ro[perm], rd[perm], ray_tile=128,
-                scan_mode="distance", tile_max_candidates=256,
-                ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6})
+                scan_mode="distance", tile_max_candidates=128,
+                ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 4})
             return c[inv]
         return r
 
@@ -235,8 +249,11 @@ def main():
 
     m32, p32 = make_model(False, "f32")
     eval_renders(volume_one(m32, p32), "volume_f32")
+    # the volume SERVING config (bench.py volume_mrays): bf16 fused
+    # kernels, tile=64 contexts over 8x8 pixel blocks
     m16, p16 = make_model(True, "bf16")
-    eval_renders(volume_one(m16, p16), "volume_bf16")
+    eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8)),
+                 "volume_bf16")
     # surface-mode parity anchor: the f32 fused-kernel surface render
     # (surface rendering is a different integral than volume rendering,
     # so the serving config is gated against THIS, not the volume image)
