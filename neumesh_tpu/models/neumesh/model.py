@@ -64,6 +64,7 @@ class NeuMesh:
         scan_candidates: int = 0,
         tile_kp_per_probe: int = 0,
         use_fused_locate: bool = False,
+        secant_full_precision: bool = True,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -114,6 +115,11 @@ class NeuMesh:
         # scan+secant path at large ray batches on v5e; see
         # render/ray_casting.py for the measurement
         self.use_fused_locate = use_fused_locate
+        # False: the secant refinement's density evals drop the
+        # f32_layers overrides (root positions tolerate bf16; the final
+        # sdf/rgb eval keeps the selective-f32 weights) — the f32 first
+        # layer otherwise runs in EVERY secant iteration
+        self.secant_full_precision = secant_full_precision
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -719,7 +725,7 @@ class RayBoundNeuMesh:
         return self.model.forward_s(params)
 
     # ---- fully-fused Pallas field path (forward-only) -------------------
-    def _field_weights(self, params):
+    def _field_weights(self, params, f32_override=None):
         """Fold weight-norm into plain (in, out) weights (+ (1, out)
         biases), cast to the serving dtype; split the density first layer
         into its d-embedding / fg-embedding row blocks.
@@ -728,11 +734,14 @@ class RayBoundNeuMesh:
         keep f32 weights, and the kernels run a true-f32 MXU pass for any
         f32 weight (per-layer precision follows the weight dtype — see
         pallas_kernels._density_mlp). Tags: 'density' (whole density
-        MLP), 'd0'/'dh' (its first layer / head), 'color', 'c0'/'ch'."""
+        MLP), 'd0'/'dh' (its first layer / head), 'color', 'c0'/'ch'.
+        f32_override replaces the model's tag set (e.g. () for the
+        low-precision secant)."""
         from ...nn import wnorm_weight
         m = self.model
         dt = m.compute_dtype
-        f32 = getattr(m, "f32_layers", ())
+        f32 = (getattr(m, "f32_layers", ()) if f32_override is None
+               else f32_override)
 
         def eff(p, *tags):
             w = wnorm_weight(p) if "g" in p else p["w"]
@@ -843,7 +852,9 @@ class RayBoundNeuMesh:
         m = self.model
         if "geo" not in self.ctx:
             self.ctx["geo"] = pack_ctx_geo(self.ctx)
-        dws, _ = self._field_weights(params)
+        dws, _ = self._field_weights(
+            params,
+            f32_override=None if m.secant_full_precision else ())
         # root refinement also runs on the nearest-candidate prefix (the
         # density it evaluates uses the same kNN semantics; accuracy is
         # pinned by tests/test_surface_render + the quality gate)

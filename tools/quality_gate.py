@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/qgate")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in workdir")
+    ap.add_argument("--secant-full-precision", action="store_true",
+                    help="keep the f32_layers overrides inside the "
+                         "secant refinement (serving default drops "
+                         "them: roots tolerate bf16)")
     ap.add_argument("--f32-layers", default="d0,dh,c0,ch",
                     help="comma-separated selective-f32 layer tags for "
                          "the benchmarked serving config (see "
@@ -259,8 +263,10 @@ def main():
     # so the serving config is gated against THIS, not the volume image)
     mp32, pp32 = make_model(True, "f32")
     eval_renders(surface_one(mp32, pp32), "surface_f32")
-    # the BENCHMARKED serving config: bf16 + selective-f32 layers
+    # the BENCHMARKED serving config: bf16 + selective-f32 layers,
+    # low-precision secant unless --secant-full-precision
     msrv, psrv = make_model(True, "bf16", serving_f32_layers)
+    msrv.secant_full_precision = bool(args.secant_full_precision)
     eval_renders(surface_one(msrv, psrv), "surface_fast")
 
     results["serving_f32_layers"] = list(serving_f32_layers)

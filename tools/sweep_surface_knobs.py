@@ -89,6 +89,10 @@ if __name__ == "__main__":
         "fast_f32all": {"tile_kp_per_probe": 12, "max_cand": 128,
                         "sblk": 1024, "secant": 4,
                         "f32_layers": ("density", "color")},
+        "serving_secbf16": {"tile_kp_per_probe": 12, "max_cand": 128,
+                            "sblk": 1024, "secant": 4,
+                            "f32_layers": ("d0", "dh", "c0", "ch"),
+                            "secant_full_precision": False},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
