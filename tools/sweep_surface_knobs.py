@@ -24,7 +24,7 @@ from neumesh_tpu.render.ray_casting import surface_render  # noqa: E402
 
 
 def bench_cfg(n, subdiv, secant=6, iters=10, sblk=512, max_cand=256,
-              tile=128, bh=8, bw=16, **model_kw):
+              tile=128, bh=8, bw=16, steps=24, **model_kw):
     model, params = build(use_pallas=True, sblk=sblk, subdivisions=subdiv,
                           **model_kw)
     o, d = rays(n)
@@ -39,7 +39,7 @@ def bench_cfg(n, subdiv, secant=6, iters=10, sblk=512, max_cand=256,
             c, dep, _ = surface_render(
                 model, params, o, d, ray_tile=tile, scan_mode="distance",
                 tile_max_candidates=max_cand,
-                ray_casting_cfgs={"N_steps": 24,
+                ray_casting_cfgs={"N_steps": steps,
                                   "N_secant_steps": secant})
         return c
 
@@ -60,6 +60,9 @@ if __name__ == "__main__":
                                           "combo_f32heads")
     args = ap.parse_args()
 
+    SERVING_R3 = {"tile_kp_per_probe": 12, "max_cand": 128, "sblk": 1024,
+                  "secant": 4, "f32_layers": ("d0", "dh", "c0", "ch"),
+                  "secant_full_precision": False}
     VARIANTS = {
         "base": {},
         "scan128": {"scan_candidates": 128},
@@ -93,6 +96,14 @@ if __name__ == "__main__":
                             "sblk": 1024, "secant": 4,
                             "f32_layers": ("d0", "dh", "c0", "ch"),
                             "secant_full_precision": False},
+        "serving_steps16": {**SERVING_R3, "steps": 16},
+        "serving_scanc64": {**SERVING_R3, "scan_candidates": 64},
+        "serving_kp8": {**SERVING_R3, "tile_kp_per_probe": 8},
+        "serving_all3": {**SERVING_R3, "steps": 16, "scan_candidates": 64,
+                         "tile_kp_per_probe": 8},
+        "serving_s16_kp8": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8},
+        "serving_s16_sec3": {**SERVING_R3, "steps": 16, "secant": 3},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]

@@ -23,9 +23,13 @@ subdiv = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 secant = int(sys.argv[6]) if len(sys.argv) > 6 else 6
 scan_c = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 kp = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+max_cand = int(sys.argv[9]) if len(sys.argv) > 9 else 256
+sblk = int(sys.argv[10]) if len(sys.argv) > 10 else 512
 
-model, params = build(True, 512, subdivisions=subdiv,
-                      scan_candidates=scan_c, tile_kp_per_probe=kp)
+model, params = build(True, sblk, subdivisions=subdiv,
+                      scan_candidates=scan_c, tile_kp_per_probe=kp,
+                      f32_layers=('d0', 'dh', 'c0', 'ch'),
+                      secant_full_precision=False)
 o, d = rays(n)
 side = int(n ** 0.5)
 perm, _ = block_order_indices(side, side, 8, 16)
@@ -37,7 +41,7 @@ def render(params, o, d, bufs):
     with mg.bound_buffers(bufs):
         c, dep, ex = surface_render(
             model, params, o, d, ray_tile=tile, scan_mode=scan,
-            tile_max_candidates=256,
+            tile_max_candidates=max_cand,
             ray_casting_cfgs={"N_steps": steps, "N_secant_steps": secant})
     return c
 
