@@ -57,7 +57,7 @@ def main():
     dev_mesh = get_device_mesh(n_dev) if n_dev > 1 else None
 
     def bench_surface(model, params, n_rays, tile, max_cand, iters=10,
-                      secant=4):
+                      secant=4, steps=16):
         o_s, d_s = rays(n_rays)
         side = int(n_rays ** 0.5)
         perm, _ = block_order_indices(side, side, 8, 16)
@@ -70,7 +70,7 @@ def main():
                 c, dep, _ = sharded_surface_render(
                     model, params, o, d, mesh=dev_mesh, ray_tile=tile,
                     scan_mode="distance", tile_max_candidates=max_cand,
-                    ray_casting_cfgs={"N_steps": 24,
+                    ray_casting_cfgs={"N_steps": steps,
                                       "N_secant_steps": secant})
             return c
 
@@ -83,12 +83,14 @@ def main():
         return n_rays * iters / (time.perf_counter() - t0) / 1e6
 
     # the quality-gated serving configuration (tools/quality_gate.py:
-    # surface_fast within 0.1 dB of the f32 surface parity anchor,
-    # measured -0.043 dB): bf16 + selective-f32 first/head layers for
-    # the final eval, low-precision secant (roots tolerate bf16), 12
-    # candidates per probe cell, 128-candidate ranked tile contexts,
-    # 4 secant iters
-    SERVING = dict(tile_kp_per_probe=12, sblk=1024,
+    # surface_fast within 0.1 dB of the f32 surface parity anchor at the
+    # same structural config, measured -0.044 dB; GT PSNR beats the old
+    # 24-step/kp12 config by +0.6 dB on the gate scene): bf16 +
+    # selective-f32 first/head layers for the final eval, low-precision
+    # secant (roots tolerate bf16), 8 candidates per probe cell,
+    # 128-candidate ranked tile contexts, 16-step proxy scan, 4 secant
+    # iters
+    SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
                    secant_full_precision=False)
 

@@ -65,6 +65,7 @@ class NeuMesh:
         tile_kp_per_probe: int = 0,
         use_fused_locate: bool = False,
         secant_full_precision: bool = True,
+        secant_tiles_per_program: int = 1,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -120,6 +121,16 @@ class NeuMesh:
         # sdf/rgb eval keeps the selective-f32 weights) — the f32 first
         # layer otherwise runs in EVERY secant iteration
         self.secant_full_precision = secant_full_precision
+        # tiles batched per fused-secant kernel program: per-tile
+        # candidate interpolation, ONE grouped density-MLP matmul per
+        # iteration (bit-identical results; see
+        # ops/pallas_kernels.py::_secant_kernel). Measured SLOWER than
+        # the default on v5e at the production config (g4 2.11 / g8 2.06
+        # vs g1 2.16 Mrays/s): the refinement is bound by the per-tile
+        # VPU interp, not the MLP matmuls, and larger blocks hurt
+        # double-buffering. Kept opt-in for small-tile configs where the
+        # per-program fixed cost dominates.
+        self.secant_tiles_per_program = secant_tiles_per_program
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -868,7 +879,7 @@ class RayBoundNeuMesh:
             multires_fg=m.embed_fn_fg.multires,
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
             tile=rays_o.shape[0] // self.ctx["geo"].shape[0],
-            logit_tau=logit_tau,
+            logit_tau=logit_tau, group=m.secant_tiles_per_program,
             interpret=jax.default_backend() != "tpu")
 
     def fused_locate(self, params, rays_o, rays_d, near, far,

@@ -925,19 +925,34 @@ def surface_locate(rays_o, rays_d, near, far, geo, feat, w1, dens_ws, *,
 
 def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
                    k: int, n_iters: int, multires_d: int, multires_fg: int,
-                   geometry_dim: int, dtype, logit_tau: float):
+                   geometry_dim: int, dtype, logit_tau: float,
+                   group: int = 1):
     """od rows: [ox oy oz dx dy dz 0 0]; br rows: [d_low d_high f_low
     f_high 0 0 0 0]; refs = [dens weights..., out]. Mirrors
-    render.ray_casting.run_secant_method exactly."""
+    render.ray_casting.run_secant_method exactly.
+
+    group > 1 batches `group` tiles per program: candidate interpolation
+    stays per-tile (each tile has its own geo/feat context) but the
+    density MLP — the MXU work — runs ONCE per iteration on the
+    group*T stacked rows, amortizing the per-program fixed cost and
+    filling the systolic array (T=128-row matmuls underutilize it).
+    Row-batching a matmul is exact per row, so results are bit-identical
+    to group=1."""
     w1 = w1_ref[0]
-    od = od_ref[0].T                                   # (T, 8)
-    o0, o1, o2 = od[:, 0:1], od[:, 1:2], od[:, 2:3]
-    r0, r1, r2 = od[:, 3:4], od[:, 4:5], od[:, 5:6]
-    br = br_ref[0].T
-    d_low, d_high = br[:, 0:1], br[:, 1:2]
-    f_low, f_high = br[:, 2:3], br[:, 3:4]
-    geo = geo_ref[0]
+    G = group
+    T = od_ref.shape[2]
     dens_ws = refs[:-1]
+    odt = [od_ref[g].T for g in range(G)]              # (T, 8) each
+    brt = [br_ref[g].T for g in range(G)]
+
+    def cat(mats, j):
+        cols = [m[:, j:j + 1] for m in mats]
+        return cols[0] if G == 1 else jnp.concatenate(cols, axis=0)
+
+    o0, o1, o2 = cat(odt, 0), cat(odt, 1), cat(odt, 2)   # (G*T, 1)
+    r0, r1, r2 = cat(odt, 3), cat(odt, 4), cat(odt, 5)
+    d_low, d_high = cat(brt, 0), cat(brt, 1)
+    f_low, f_high = cat(brt, 2), cat(brt, 3)
 
     def pred():
         denom = f_high - f_low
@@ -949,11 +964,19 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
         x0 = o0 + d_pred * r0
         x1 = o1 + d_pred * r1
         x2 = o2 + d_pred * r2
-        ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
-        fg = jax.lax.dot_general(
-            W, feat_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision="highest")[:, :geometry_dim]
+        ds_parts, fg_parts = [], []
+        for g in range(G):
+            sl = slice(g * T, (g + 1) * T)
+            ds_g, W_g = _interp_distance(x0[sl], x1[sl], x2[sl],
+                                         geo_ref[g], w1, k, False)
+            fg_g = jax.lax.dot_general(
+                W_g, feat_ref[g], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision="highest")[:, :geometry_dim]
+            ds_parts.append(ds_g)
+            fg_parts.append(fg_g)
+        ds = ds_parts[0] if G == 1 else jnp.concatenate(ds_parts, axis=0)
+        fg = fg_parts[0] if G == 1 else jnp.concatenate(fg_parts, axis=0)
         f_mid, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
                                 dtype, False)
         f_mid = f_mid - logit_tau
@@ -963,27 +986,33 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
         d_high = jnp.where(~ind_low, d_pred, d_high)
         f_high = jnp.where(~ind_low, f_mid, f_high)
         d_pred = pred()
-    refs[-1][0, 0:1, :] = d_pred.T
+    for g in range(G):
+        refs[-1][g, 0:1, :] = d_pred[g * T:(g + 1) * T].T
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "n_iters", "multires_d", "multires_fg", "geometry_dim", "dtype",
-    "tile", "logit_tau", "interpret"))
+    "tile", "logit_tau", "interpret", "group"))
 def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
                   w1, dens_ws, *, n_iters: int = 6, k: int = 8,
                   multires_d: int = 8, multires_fg: int = 2,
                   geometry_dim: int = 32, dtype=None, tile: int = 1,
-                  logit_tau: float = 0.0, interpret: bool = False):
+                  logit_tau: float = 0.0, interpret: bool = False,
+                  group: int = 1):
     """Fused secant root refinement (see _secant_kernel).
 
     rays_o/d: (R, 3) with consecutive rays grouped into `tile`-ray groups
     matching `geo`/`feat` (B = R//tile contexts, as built by
     make_tile_context; tile=1 for per-ray contexts); d/f brackets: (R,).
-    Returns d_pred (R,)."""
+    group: tiles batched per kernel program (see _secant_kernel; results
+    are bit-identical across group values). Returns d_pred (R,)."""
     R = rays_o.shape[0]
     B = geo.shape[0]
     T = R // B
     C = geo.shape[2]
+    G = max(1, min(int(group), B))
+    while B % G:
+        G -= 1
     cpad = (-C) % 128
     if cpad:
         fill = jnp.zeros((B, 8, cpad), jnp.float32)
@@ -1012,22 +1041,26 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
         functools.partial(
             _secant_kernel, k=k, n_iters=n_iters, multires_d=multires_d,
             multires_fg=multires_fg, geometry_dim=geometry_dim,
-            dtype=dtype, logit_tau=logit_tau),
-        grid=(B,),
+            dtype=dtype, logit_tau=logit_tau, group=G),
+        grid=(B // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, C + cpad), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, 8, C + cpad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, feat.shape[-1], C + cpad),
+            pl.BlockSpec((G, feat.shape[-1], C + cpad),
                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ] + [const_spec(a) for a in dens_ws],
-        out_specs=pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, 8, T), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, T), jnp.float32),
+        # grouped programs unroll G per-tile interpolations whose live
+        # temporaries exceed the default 16M scoped-vmem stack limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if G > 1 else None,
         interpret=interpret,
     )(w1_arr, od, br, geo, feat_t, *dens_ws)
     return out[:, 0, :].reshape(R)

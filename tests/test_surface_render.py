@@ -250,16 +250,18 @@ def _wrap_tiled(tb):
     return _DistanceFieldModel._Bound(bound), near, far
 
 
-def test_fast_config_depth_accuracy():
-    """The throughput configuration (short scan + 6 secant steps on the
-    distance proxy) must still localise the surface to sub-millimeter
-    accuracy on the analytic sphere — the quality gate for making surface
-    mode the fast render path."""
+@pytest.mark.parametrize("steps,secant", [(24, 6), (16, 4)])
+def test_fast_config_depth_accuracy(steps, secant):
+    """The throughput configurations (short scan + few secant steps on
+    the distance proxy) must still localise the surface to
+    sub-millimeter accuracy on the analytic sphere — the quality gate
+    for making surface mode the fast render path. (16, 4) is the round-3
+    serving config (bench.py)."""
     model = _ProxyModel()
     o, d = rays(64)
     _, depths, extras = surface_render(
         model, {}, o, d, scan_mode="distance",
-        ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 6,
+        ray_casting_cfgs={"N_steps": steps, "N_secant_steps": secant,
                           "near": 0.0, "far": 6.0})
     t, hit = analytic_hit(o, d, r=0.52)
     mask = np.asarray(extras["mask_surface"])
@@ -310,6 +312,42 @@ def test_fused_secant_matches_reference_loop():
     # sphere, shifting one root by <1e-3 on this noisy untrained field
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3)
+
+
+def test_fused_secant_group_matches_ungrouped():
+    """secant_tiles_per_program > 1 batches the density MLP across tiles
+    inside one kernel program; row-batching a matmul is exact per row, so
+    the refined roots must match the group=1 launch."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              use_pallas=True)
+    mg = MeshGrid(mesh, distance_method="grid")
+    roots = {}
+    for group in (1, 4):
+        m = NeuMesh(mg, secant_tiles_per_program=group, **kw)
+        params = m.init(jax.random.PRNGKey(0))
+        o, d = rays(32)
+        from neumesh_tpu.ops.rays import near_far_from_sphere
+        near, far = near_far_from_sphere(o, d)
+        bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8)
+        d_low = jnp.full((32,), 2.62)
+        d_high = jnp.full((32,), 2.38)
+
+        def f(dv):
+            pts = o + dv[:, None] * d
+            return bound.forward_density_only(
+                params, pts[:, None, :])[:, 0]
+
+        roots[group] = np.asarray(bound.fused_secant(
+            params, o, d, d_low, d_high, f(d_low), f(d_high), n_iters=4))
+    np.testing.assert_allclose(roots[4], roots[1], atol=1e-6)
 
 
 def test_scan_candidate_budget_matches_full():

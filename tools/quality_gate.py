@@ -6,13 +6,18 @@ views four ways:
 
   volume_f32     volume render, f32 XLA path          (the parity mode)
   volume_bf16    volume render, bf16 fused Pallas path (the serving mode)
+  surface_f32    surface mode, f32 precision at the SAME structural
+                 config as serving (steps/secant/kp) — the precision
+                 parity anchor
   surface_fast   surface mode, throughput configuration (bench.py's
                  distance-proxy scan + density secant, tile=128)
 
 and prints one JSON line with PSNRs and the deltas the serving modes are
-gated on (volume bf16 within 0.1 dB of f32; surface within 1 dB of
-volume — surface rendering is a different integral, so parity with GT,
-not with the volume image, is the meaningful bound).
+gated on (volume bf16 within 0.1 dB of f32; surface_fast within 0.1 dB
+of surface_f32 — precision only, anchor shares the structure — and
+within 1 dB of volume on GT, the structural bound: surface rendering is
+a different integral, so parity with GT, not with the volume image, is
+the meaningful comparison).
 
     python tools/quality_gate.py [--iters 3000] [--workdir /tmp/qgate]
 """
@@ -113,6 +118,15 @@ def main():
                     help="comma-separated selective-f32 layer tags for "
                          "the benchmarked serving config (see "
                          "NeuMesh.f32_layers; empty = plain bf16)")
+    ap.add_argument("--surface-steps", type=int, default=16,
+                    help="N_steps of the distance-proxy scan in the "
+                         "surface configs (serving AND its f32 parity "
+                         "anchor share the structural config; the gated "
+                         "delta isolates precision)")
+    ap.add_argument("--surface-secant", type=int, default=4,
+                    help="N_secant_steps of the surface configs")
+    ap.add_argument("--serving-kp", type=int, default=8,
+                    help="tile_kp_per_probe of the surface models")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -196,12 +210,12 @@ def main():
     from neumesh_tpu.render.ray_casting import surface_render
     from neumesh_tpu.render.volume import volume_render_rays
 
-    def make_model(use_pallas, dtype, f32_layers=()):
+    def make_model(use_pallas, dtype, f32_layers=(), kp=12):
         cfg = neumesh_config(workdir, args.iters, mesh_path, neus_dir)
         cfg.model["use_pallas"] = use_pallas
         if use_pallas:
             # the bench.py serving knobs (sweep_surface_knobs 'fast')
-            cfg.model["tile_kp_per_probe"] = 12
+            cfg.model["tile_kp_per_probe"] = kp
             cfg.model["pallas_sample_block"] = 1024
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
@@ -232,7 +246,7 @@ def main():
             return out if inv is None else out[inv]
         return r
 
-    def surface_one(model, params):
+    def surface_one(model, params, steps=24, secant=4):
         from neumesh_tpu.ops.rays import block_order_indices
         ds0 = get_data(mcfg, downscale=1)
         perm, inv = block_order_indices(ds0.H, ds0.W, 8, 16)
@@ -244,7 +258,8 @@ def main():
             c, _, _ = surface_render(
                 model, params, ro[perm], rd[perm], ray_tile=128,
                 scan_mode="distance", tile_max_candidates=128,
-                ray_casting_cfgs={"N_steps": 24, "N_secant_steps": 4})
+                ray_casting_cfgs={"N_steps": steps,
+                                  "N_secant_steps": secant})
             return c[inv]
         return r
 
@@ -258,16 +273,26 @@ def main():
     m16, p16 = make_model(True, "bf16")
     eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8)),
                  "volume_bf16")
-    # surface-mode parity anchor: the f32 fused-kernel surface render
-    # (surface rendering is a different integral than volume rendering,
-    # so the serving config is gated against THIS, not the volume image)
-    mp32, pp32 = make_model(True, "f32")
-    eval_renders(surface_one(mp32, pp32), "surface_f32")
+    # surface-mode parity anchor: the f32 fused-kernel surface render at
+    # the SAME structural config (steps/secant/kp) as the serving mode —
+    # the gated delta then isolates precision (bf16 + selective-f32)
+    # only. Structural quality (scan resolution, candidate budget) is
+    # gated separately: gate_surface scores serving against the volume
+    # path on GT, and tests/test_surface_render.py pins sub-millimeter
+    # depth accuracy for the serving configuration.
+    mp32, pp32 = make_model(True, "f32", kp=args.serving_kp)
+    eval_renders(surface_one(mp32, pp32, steps=args.surface_steps,
+                             secant=args.surface_secant), "surface_f32")
     # the BENCHMARKED serving config: bf16 + selective-f32 layers,
     # low-precision secant unless --secant-full-precision
-    msrv, psrv = make_model(True, "bf16", serving_f32_layers)
+    msrv, psrv = make_model(True, "bf16", serving_f32_layers,
+                            kp=args.serving_kp)
     msrv.secant_full_precision = bool(args.secant_full_precision)
-    eval_renders(surface_one(msrv, psrv), "surface_fast")
+    eval_renders(surface_one(msrv, psrv, steps=args.surface_steps,
+                             secant=args.surface_secant), "surface_fast")
+    results["surface_steps"] = args.surface_steps
+    results["surface_secant"] = args.surface_secant
+    results["serving_kp"] = args.serving_kp
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(

@@ -104,6 +104,15 @@ if __name__ == "__main__":
         "serving_s16_kp8": {**SERVING_R3, "steps": 16,
                             "tile_kp_per_probe": 8},
         "serving_s16_sec3": {**SERVING_R3, "steps": 16, "secant": 3},
+        "serving_s16_kp8_g4": {**SERVING_R3, "steps": 16,
+                               "tile_kp_per_probe": 8,
+                               "secant_tiles_per_program": 4},
+        "serving_s16_kp8_g8": {**SERVING_R3, "steps": 16,
+                               "tile_kp_per_probe": 8,
+                               "secant_tiles_per_program": 8},
+        "serving_s16_kp8_g16": {**SERVING_R3, "steps": 16,
+                                "tile_kp_per_probe": 8,
+                                "secant_tiles_per_program": 16},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
