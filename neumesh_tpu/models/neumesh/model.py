@@ -66,6 +66,7 @@ class NeuMesh:
         use_fused_locate: bool = False,
         secant_full_precision: bool = True,
         secant_tiles_per_program: int = 1,
+        scan_knn_k: int = 0,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -131,6 +132,15 @@ class NeuMesh:
         # double-buffering. Kept opt-in for small-tile configs where the
         # per-program fixed cost dominates.
         self.secant_tiles_per_program = secant_tiles_per_program
+        # kNN size of the surface-scan DISTANCE PROXY only (0 = the
+        # model's k=8). The sign-change scan just brackets the root —
+        # any field with the same zero crossing works — and the top-k
+        # selection passes are ~half the scan kernel's VPU cost, so a
+        # smaller scan-only k (k=1 = nearest tangent plane) trades
+        # bracket placement (re-anchored on the true density by the
+        # half-step-widened re-bracket) for scan throughput. Density,
+        # secant, and color interpolation always keep the model's k.
+        self.scan_knn_k = scan_knn_k
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -807,6 +817,7 @@ class RayBoundNeuMesh:
             return field_fused(
                 xyz, geo, jnp.zeros((B, C, 1), jnp.float32),
                 m.forward_indicator_weight(params), (), want="distance",
+                k=m.scan_knn_k or 8,
                 sample_block=m.pallas_sample_block,
                 interpret=jax.default_backend() != "tpu")
         dws, cws = self._field_weights(params)
@@ -917,7 +928,8 @@ class RayBoundNeuMesh:
         if self.model.use_pallas:
             out = self._fused_field(params, x, "distance")
             return self._unflat(out[0][..., None]), None, None
-        ds, _ = self.model._ctx_distance_parts(params, self.ctx, x, K)
+        ds, _ = self.model._ctx_distance_parts(
+            params, self.ctx, x, self.model.scan_knn_k or K)
         return self._unflat(ds), None, None
 
     def forward_density_only(self, params, xyz):

@@ -350,6 +350,40 @@ def test_fused_secant_group_matches_ungrouped():
     np.testing.assert_allclose(roots[4], roots[1], atol=1e-6)
 
 
+def test_scan_knn_k_pallas_matches_xla():
+    """scan_knn_k routes a reduced-k kNN into the fused distance kernel
+    (scan proxy only); the pallas k=1 interpolation must match the XLA
+    candidate-distance path at K=1 on the same bound context."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    rng = np.random.default_rng(9)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              pallas_sample_block=64, scan_knn_k=1)
+    o, d = rays(16)
+    near, far = near_far_from_sphere(o, d)
+    t = jnp.linspace(0.0, 1.0, 8)
+    pts = o[:, None, :] + (near * (1 - t) + far * t)[..., None] \
+        * d[:, None, :]
+    ds = {}
+    for pallas in (True, False):
+        m = NeuMesh(mg, use_pallas=pallas, **kw)
+        params = m.init(jax.random.PRNGKey(0))
+        bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8)
+        ds[pallas] = np.asarray(
+            bound.compute_distance(params, pts)[0][..., 0])
+    np.testing.assert_allclose(ds[True], ds[False], atol=1e-5)
+
+
 def test_scan_candidate_budget_matches_full():
     """The round-3 serving budgets — scan/secant on the nearest-candidate
     prefix (scan_candidates) and the tile-ctx build on per-cell list

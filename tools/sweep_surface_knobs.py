@@ -113,6 +113,11 @@ if __name__ == "__main__":
         "serving_s16_kp8_g16": {**SERVING_R3, "steps": 16,
                                 "tile_kp_per_probe": 8,
                                 "secant_tiles_per_program": 16},
+        "serving_r3b": {**SERVING_R3, "steps": 16, "tile_kp_per_probe": 8},
+        "serving_r3b_scank1": {**SERVING_R3, "steps": 16,
+                               "tile_kp_per_probe": 8, "scan_knn_k": 1},
+        "serving_r3b_scank4": {**SERVING_R3, "steps": 16,
+                               "tile_kp_per_probe": 8, "scan_knn_k": 4},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
