@@ -181,12 +181,13 @@ class RayBoundTextureEditable:
 
     def fused_secant(self, params, rays_o, rays_d, d_low, d_high,
                      f_low, f_high, n_iters: int = 6,
-                     logit_tau: float = 0.0):
+                     logit_tau: float = 0.0, d_low_w=None, d_high_w=None):
         """Secant refinement runs entirely on the main model's geometry
         (texture edits never move the surface)."""
         return self.bound.fused_secant(
             params["main"], rays_o, rays_d, d_low, d_high, f_low, f_high,
-            n_iters=n_iters, logit_tau=logit_tau)
+            n_iters=n_iters, logit_tau=logit_tau, d_low_w=d_low_w,
+            d_high_w=d_high_w)
 
     def fused_locate(self, params, rays_o, rays_d, near, far,
                      n_steps: int = 24, n_secant: int = 6,

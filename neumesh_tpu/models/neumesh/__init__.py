@@ -68,6 +68,9 @@ def get_model(args, key=None):
         # surface-mode serving budgets (see NeuMesh docstrings)
         "scan_candidates": model_args.get("scan_candidates", 0),
         "tile_kp_per_probe": model_args.get("tile_kp_per_probe", 0),
+        "scan_knn_k": model_args.get("scan_knn_k", 0),
+        "secant_full_precision": model_args.get(
+            "secant_full_precision", True),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

@@ -352,9 +352,11 @@ class NeuMesh:
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
             + cell[..., 2]                               # (R, P)
-        cand = grid.cell_candidates(flat)                # (R, P, Kp)
-        if kp_per_probe is not None:
-            cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
+        # slice the candidate table BEFORE the row gather (see
+        # make_tile_context): Kp/kp x fewer gather bytes
+        kp = (min(kp_per_probe, grid.Kp) if kp_per_probe is not None
+              else grid.Kp)
+        cand = grid.cand_idx[:, :kp][grid.cell_row[flat]]  # (R, P, kp)
         ids = cand.reshape(R, -1)                        # (R, C)
         n_verts = self.num_vertices
 
@@ -379,11 +381,17 @@ class NeuMesh:
                 [self.mesh_grid.vertices,
                  jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
             vp = verts_all[ids]                          # (R, C, 3)
-            ov = vp - rays_o[:, None, :]
-            t_c = jnp.einsum("rcd,rd->rc", ov, rays_d)
-            t_c = jnp.clip(t_c, near, far)
-            seg_pt = rays_o[:, None, :] + t_c[..., None] * rays_d[:, None, :]
-            d2_seg = jnp.sum((vp - seg_pt) ** 2, axis=-1)
+            # segment distance via |ov|^2 - (2 t - u) u (see
+            # make_tile_context): no (R, C, 3) closest-point pass, exact
+            # f32 broadcasts instead of a bf16-MXU einsum
+            ov0 = vp[..., 0] - rays_o[:, None, 0]
+            ov1 = vp[..., 1] - rays_o[:, None, 1]
+            ov2 = vp[..., 2] - rays_o[:, None, 2]
+            ovov = ov0 * ov0 + ov1 * ov1 + ov2 * ov2
+            t_c = (ov0 * rays_d[:, None, 0] + ov1 * rays_d[:, None, 1]
+                   + ov2 * rays_d[:, None, 2])
+            u = jnp.clip(t_c, near, far)
+            d2_seg = ovov - (2.0 * t_c - u) * u
             # sort ids WITH the distance keys (multi-operand sort) and
             # slice — top_k + take_along_axis gathers are ~5 GB/s on TPU
             _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
@@ -468,9 +476,12 @@ class NeuMesh:
         cell = jnp.clip(cell, 0, dims - 1)
         flat = (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] \
             + cell[..., 2]                               # (R, P)
-        cand = grid.cell_candidates(flat)                # (R, P, Kp)
-        if kp_per_probe is not None:
-            cand = cand[..., :min(kp_per_probe, cand.shape[-1])]
+        # slice the candidate table BEFORE the row gather: fetching full
+        # Kp rows and slicing after pays Kp/kp x the gather bytes (the
+        # slowest primitive on TPU)
+        kp = (min(kp_per_probe, grid.Kp) if kp_per_probe is not None
+              else grid.Kp)
+        cand = grid.cand_idx[:, :kp][grid.cell_row[flat]]  # (R, P, kp)
         ids = cand.reshape(Rt, -1)                       # (Rt, C0)
 
         ids = jnp.sort(ids, axis=-1)
@@ -492,11 +503,18 @@ class NeuMesh:
                 [self.mesh_grid.vertices,
                  jnp.full((1, 3), 1e9, jnp.float32)], axis=0)
             vp = verts_all[ids]                          # (Rt, C0, 3)
-            ov = vp - o_c[:, None, :]
-            t_c = jnp.einsum("rcd,rd->rc", ov, d_c)
-            t_c = jnp.clip(t_c, near_t[:, None], far_t[:, None])
-            seg_pt = o_c[:, None, :] + t_c[..., None] * d_c[:, None, :]
-            d2_seg = jnp.sum((vp - seg_pt) ** 2, axis=-1)
+            # segment distance without materialising the (Rt, C0, 3)
+            # closest points: |ov - u d|^2 = |ov|^2 - 2 u (ov.d) + u^2
+            # for unit d and u = clip(ov.d, near, far). Per-coordinate
+            # VPU broadcasts (exact f32), not einsum (bf16 MXU default)
+            ov0 = vp[..., 0] - o_c[:, None, 0]
+            ov1 = vp[..., 1] - o_c[:, None, 1]
+            ov2 = vp[..., 2] - o_c[:, None, 2]
+            ovov = ov0 * ov0 + ov1 * ov1 + ov2 * ov2
+            t_c = (ov0 * d_c[:, None, 0] + ov1 * d_c[:, None, 1]
+                   + ov2 * d_c[:, None, 2])
+            u = jnp.clip(t_c, near_t[:, None], far_t[:, None])
+            d2_seg = ovov - (2.0 * t_c - u) * u
             _, ids = jax.lax.sort((d2_seg, ids), dimension=-1, num_keys=1)
             ids = ids[:, :max_candidates]
 
@@ -866,10 +884,12 @@ class RayBoundNeuMesh:
 
     def fused_secant(self, params, rays_o, rays_d, d_low, d_high,
                      f_low, f_high, n_iters: int = 6,
-                     logit_tau: float = 0.0):
+                     logit_tau: float = 0.0, d_low_w=None, d_high_w=None):
         """All secant iterations of the surface-render refinement in one
         kernel launch (ops/pallas_kernels.py::secant_refine); rays must
-        be in binding order. Returns d_pred (R,)."""
+        be in binding order. d_low_w/d_high_w additionally fold the
+        density re-bracket of the proxy scan into the same launch.
+        Returns d_pred (R,)."""
         from ...ops.pallas_kernels import pack_ctx_geo, secant_refine
         m = self.model
         if "geo" not in self.ctx:
@@ -891,6 +911,7 @@ class RayBoundNeuMesh:
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
             tile=rays_o.shape[0] // self.ctx["geo"].shape[0],
             logit_tau=logit_tau, group=m.secant_tiles_per_program,
+            d_low_w=d_low_w, d_high_w=d_high_w,
             interpret=jax.default_backend() != "tpu")
 
     def fused_locate(self, params, rays_o, rays_d, near, far,

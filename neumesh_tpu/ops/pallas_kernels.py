@@ -727,6 +727,7 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, S), jnp.float32),
         interpret=interpret,
+        name=f"field_fused_{want}",  # per-want trace attribution
     )(w1_arr, xq, dq, geo, feat_t, *dens_ws, *col_ws)
     return [out[:, i, :S0] for i in range(n_out)]
 
@@ -926,9 +927,9 @@ def surface_locate(rays_o, rays_d, near, far, geo, feat, w1, dens_ws, *,
 def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
                    k: int, n_iters: int, multires_d: int, multires_fg: int,
                    geometry_dim: int, dtype, logit_tau: float,
-                   group: int = 1):
+                   group: int = 1, rebracket: bool = False):
     """od rows: [ox oy oz dx dy dz 0 0]; br rows: [d_low d_high f_low
-    f_high 0 0 0 0]; refs = [dens weights..., out]. Mirrors
+    f_high d_low_w d_high_w 0 0]; refs = [dens weights..., out]. Mirrors
     render.ray_casting.run_secant_method exactly.
 
     group > 1 batches `group` tiles per program: candidate interpolation
@@ -937,7 +938,14 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
     group*T stacked rows, amortizing the per-program fixed cost and
     filling the systolic array (T=128-row matmuls underutilize it).
     Row-batching a matmul is exact per row, so results are bit-identical
-    to group=1."""
+    to group=1.
+
+    rebracket=True folds the density re-bracketing of the distance-proxy
+    scan (render.ray_casting.root_finding_surface_points's
+    refine_query_fn block) into the same program: two in-register density
+    passes at the half-step-widened endpoints [d_low_w, d_high_w] replace
+    two whole-frame field launches, falling back to the proxy bracket
+    where the true field does not straddle the root."""
     w1 = w1_ref[0]
     G = group
     T = od_ref.shape[2]
@@ -954,16 +962,12 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
     d_low, d_high = cat(brt, 0), cat(brt, 1)
     f_low, f_high = cat(brt, 2), cat(brt, 3)
 
-    def pred():
-        denom = f_high - f_low
-        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        return -f_low * (d_high - d_low) / denom + d_low
-
-    d_pred = pred()
-    for _ in range(n_iters):
-        x0 = o0 + d_pred * r0
-        x1 = o1 + d_pred * r1
-        x2 = o2 + d_pred * r2
+    def field(d_eval):
+        """Density at o + d_eval·r, (G·T, 1) rows (per-tile candidate
+        interpolation, one stacked MLP pass — the iteration body)."""
+        x0 = o0 + d_eval * r0
+        x1 = o1 + d_eval * r1
+        x2 = o2 + d_eval * r2
         ds_parts, fg_parts = [], []
         for g in range(G):
             sl = slice(g * T, (g + 1) * T)
@@ -977,9 +981,28 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
             fg_parts.append(fg_g)
         ds = ds_parts[0] if G == 1 else jnp.concatenate(ds_parts, axis=0)
         fg = fg_parts[0] if G == 1 else jnp.concatenate(fg_parts, axis=0)
-        f_mid, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
-                                dtype, False)
-        f_mid = f_mid - logit_tau
+        f, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
+                            dtype, False)
+        return f - logit_tau
+
+    if rebracket:
+        d_lw, d_hw = cat(brt, 4), cat(brt, 5)
+        f_hr = field(d_hw)
+        f_lr = field(d_lw)
+        ok = (f_hr > 0) & (f_lr < 0)
+        f_high = jnp.where(ok, f_hr, f_high)
+        f_low = jnp.where(ok, f_lr, f_low)
+        d_high = jnp.where(ok, d_hw, d_high)
+        d_low = jnp.where(ok, d_lw, d_low)
+
+    def pred():
+        denom = f_high - f_low
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return -f_low * (d_high - d_low) / denom + d_low
+
+    d_pred = pred()
+    for _ in range(n_iters):
+        f_mid = field(d_pred)
         ind_low = f_mid < 0
         d_low = jnp.where(ind_low, d_pred, d_low)
         f_low = jnp.where(ind_low, f_mid, f_low)
@@ -998,14 +1021,17 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
                   multires_d: int = 8, multires_fg: int = 2,
                   geometry_dim: int = 32, dtype=None, tile: int = 1,
                   logit_tau: float = 0.0, interpret: bool = False,
-                  group: int = 1):
+                  group: int = 1, d_low_w=None, d_high_w=None):
     """Fused secant root refinement (see _secant_kernel).
 
     rays_o/d: (R, 3) with consecutive rays grouped into `tile`-ray groups
     matching `geo`/`feat` (B = R//tile contexts, as built by
     make_tile_context; tile=1 for per-ray contexts); d/f brackets: (R,).
     group: tiles batched per kernel program (see _secant_kernel; results
-    are bit-identical across group values). Returns d_pred (R,)."""
+    are bit-identical across group values).
+    d_low_w/d_high_w: optional half-step-widened proxy-scan endpoints —
+    when given, the density re-bracket runs inside the kernel
+    (see _secant_kernel rebracket). Returns d_pred (R,)."""
     R = rays_o.shape[0]
     B = geo.shape[0]
     T = R // B
@@ -1028,7 +1054,11 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
 
     od = rows8([rays_o[:, 0], rays_o[:, 1], rays_o[:, 2],
                 rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]])
-    br = rows8([d_low, d_high, f_low, f_high])
+    rebracket = d_low_w is not None
+    br_cols = [d_low, d_high, f_low, f_high]
+    if rebracket:
+        br_cols += [d_low_w, d_high_w]
+    br = rows8(br_cols)
     w1_arr = jnp.full((1,), w1, jnp.float32)
     dens_ws = tuple(dens_ws)
     feat_t = jnp.swapaxes(feat, 1, 2)                    # (B, F, C)
@@ -1041,7 +1071,8 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
         functools.partial(
             _secant_kernel, k=k, n_iters=n_iters, multires_d=multires_d,
             multires_fg=multires_fg, geometry_dim=geometry_dim,
-            dtype=dtype, logit_tau=logit_tau, group=G),
+            dtype=dtype, logit_tau=logit_tau, group=G,
+            rebracket=rebracket),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

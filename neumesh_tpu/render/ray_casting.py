@@ -102,7 +102,10 @@ def root_finding_surface_points(
     mask_pos_to_neg = f_high > 0
     mask = mask_sign_change & mask_pos_to_neg & mask_0_not_occupied
 
-    if refine_query_fn is not None:
+    fold_rebracket = (refine_query_fn is not None
+                      and method == "secant"
+                      and secant_override is not None)
+    if refine_query_fn is not None and not fold_rebracket:
         # re-bracket the true field at the proxy-scan endpoints (the
         # proxy root and the density root sit within the same step when
         # the density is distilled from the mesh distance); fall back to
@@ -128,9 +131,17 @@ def root_finding_surface_points(
         secant_fn = surface_query_fn
 
     if method == "secant" and secant_override is not None:
-        # fused refinement: all iterations in one kernel launch
+        # fused refinement: all iterations in one kernel launch. With a
+        # proxy scan (refine_query_fn set), the density re-bracket runs
+        # inside the same kernel (same math as the block above; two
+        # whole-frame field launches saved)
+        kw = {}
+        if fold_rebracket:
+            step = (far_t - near) / max(N_steps - 1, 1)
+            kw["d_high_w"] = jnp.maximum(d_high - 0.5 * step, near)
+            kw["d_low_w"] = jnp.minimum(d_low + 0.5 * step, far_t)
         d_pred = secant_override(f_low, f_high, d_low, d_high,
-                                 N_secant_steps, logit_tau)
+                                 N_secant_steps, logit_tau, **kw)
     elif method == "secant":
         d_pred = run_secant_method(
             f_low, f_high, d_low, d_high, rays_o, rays_d,
@@ -250,10 +261,12 @@ def surface_render(
     use_pallas = getattr(getattr(model, "model", None), "use_pallas",
                          False)
     if hasattr(model, "fused_secant") and use_pallas:
-        def secant_override(f_low, f_high, d_low, d_high, n, tau):
+        def secant_override(f_low, f_high, d_low, d_high, n, tau,
+                            d_low_w=None, d_high_w=None):
             return model.fused_secant(params, rays_o, rays_d, d_low,
                                       d_high, f_low, f_high, n_iters=n,
-                                      logit_tau=tau)
+                                      logit_tau=tau, d_low_w=d_low_w,
+                                      d_high_w=d_high_w)
 
     if (ray_casting_algo == "root_finding" and use_pallas
             and scan_mode == "distance" and hasattr(model, "fused_locate")

@@ -314,6 +314,65 @@ def test_fused_secant_matches_reference_loop():
                                atol=2e-3)
 
 
+def test_fused_rebracket_matches_composed():
+    """secant_refine with d_low_w/d_high_w folds the density re-bracket
+    of the proxy scan into the kernel; the refined roots must match the
+    composed path (separate field_fused re-bracket evaluations + the
+    plain fused secant) on the same bound context."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              use_pallas=True)
+    m = NeuMesh(MeshGrid(mesh, distance_method="grid"), **kw)
+    params = m.init(jax.random.PRNGKey(0))
+    o, d = rays(32)
+    near, far = near_far_from_sphere(o, d)
+    bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8)
+
+    # proxy brackets + half-step-widened endpoints; the untrained field
+    # hovers around -0.07 with ~±0.02 per-ray spread here, so this tau
+    # makes the re-bracket succeed on some rays and fail on others —
+    # both kernel branches are exercised
+    tau = -0.07
+    d_low = jnp.full((32,), 2.62)
+    d_high = jnp.full((32,), 2.38)
+    d_low_w = d_low + 0.05
+    d_high_w = d_high - 0.05
+
+    def f(dv):
+        pts = o + dv[:, None] * d
+        return bound.forward_density_only(params,
+                                          pts[:, None, :])[:, 0] - tau
+
+    f_low, f_high = f(d_low), f(d_high)
+    # composed: re-bracket outside (ray_casting.py refine block), then
+    # the plain fused secant
+    f_hr, f_lr = f(d_high_w), f(d_low_w)
+    ok = (f_hr > 0) & (f_lr < 0)
+    assert bool(ok.any()), "test setup: some rays must re-bracket"
+    assert bool((~ok).any()), "test setup: some rays must fall back"
+    want = bound.fused_secant(
+        params, o, d,
+        jnp.where(ok, d_low_w, d_low), jnp.where(ok, d_high_w, d_high),
+        jnp.where(ok, f_lr, f_low), jnp.where(ok, f_hr, f_high),
+        n_iters=4, logit_tau=tau)
+    got = bound.fused_secant(params, o, d, d_low, d_high, f_low, f_high,
+                             n_iters=4, logit_tau=tau, d_low_w=d_low_w,
+                             d_high_w=d_high_w)
+    # rays whose endpoint density sits within float noise of tau can
+    # flip the ok sign test between the two evaluators (in-kernel vs
+    # field_fused) — same tolerance class as the reference-loop test
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3)
+
+
 def test_fused_secant_group_matches_ungrouped():
     """secant_tiles_per_program > 1 batches the density MLP across tiles
     inside one kernel program; row-batching a matmul is exact per row, so

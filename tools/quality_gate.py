@@ -127,6 +127,14 @@ def main():
                     help="N_secant_steps of the surface configs")
     ap.add_argument("--serving-kp", type=int, default=8,
                     help="tile_kp_per_probe of the surface models")
+    ap.add_argument("--scan-knn-k", type=int, default=0,
+                    help="reduced-k kNN for the scan distance proxy "
+                         "(NeuMesh.scan_knn_k; 0 = full k=8). Applied to "
+                         "serving AND the f32 anchor (structural knob)")
+    ap.add_argument("--scan-candidates", type=int, default=0,
+                    help="nearest-prefix candidate budget for scan + "
+                         "secant (NeuMesh.scan_candidates; 0 = full). "
+                         "Applied to serving AND the f32 anchor")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -217,6 +225,10 @@ def main():
             # the bench.py serving knobs (sweep_surface_knobs 'fast')
             cfg.model["tile_kp_per_probe"] = kp
             cfg.model["pallas_sample_block"] = 1024
+            if args.scan_knn_k:
+                cfg.model["scan_knn_k"] = args.scan_knn_k
+            if args.scan_candidates:
+                cfg.model["scan_candidates"] = args.scan_candidates
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:
@@ -293,6 +305,10 @@ def main():
     results["surface_steps"] = args.surface_steps
     results["surface_secant"] = args.surface_secant
     results["serving_kp"] = args.serving_kp
+    if args.scan_knn_k:
+        results["scan_knn_k"] = args.scan_knn_k
+    if args.scan_candidates:
+        results["scan_candidates"] = args.scan_candidates
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(

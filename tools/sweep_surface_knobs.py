@@ -118,6 +118,20 @@ if __name__ == "__main__":
                                "tile_kp_per_probe": 8, "scan_knn_k": 1},
         "serving_r3b_scank4": {**SERVING_R3, "steps": 16,
                                "tile_kp_per_probe": 8, "scan_knn_k": 4},
+        "serving_r3b_scanc64": {**SERVING_R3, "steps": 16,
+                                "tile_kp_per_probe": 8,
+                                "scan_candidates": 64},
+        "serving_r3b_k1c64": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "scan_candidates": 64},
+        "serving_r3b_k1c96": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "scan_candidates": 96},
+        "serving_r3b_steps12": {**SERVING_R3, "steps": 12,
+                                "tile_kp_per_probe": 8},
+        "serving_r3b_k1c64_s12": {**SERVING_R3, "steps": 12,
+                                  "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                                  "scan_candidates": 64},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]

@@ -75,6 +75,10 @@ agg = collections.Counter()
 total = 0.0
 for e in ev:
     src = e.get("args", {}).get("source", e.get("name", "?"))
+    if "pallas" in str(src):
+        # split pallas_call lines by kernel name (field_fused_<want>,
+        # secant, locate all share a few call sites)
+        src = f"{src} [{str(e.get('name', ''))[:46]}]"
     agg[src] += e.get("dur", 0)
     total += e.get("dur", 0)
 print(f"total device us: {total:.0f}")
