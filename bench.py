@@ -84,15 +84,17 @@ def main():
 
     # the quality-gated serving configuration (tools/quality_gate.py:
     # surface_fast within 0.1 dB of the f32 surface parity anchor at the
-    # same structural config, measured -0.044 dB; GT PSNR beats the old
+    # same structural config, measured -0.004 dB; GT PSNR beats the old
     # 24-step/kp12 config by +0.6 dB on the gate scene): bf16 +
     # selective-f32 first/head layers for the final eval, low-precision
     # secant (roots tolerate bf16), 8 candidates per probe cell,
-    # 128-candidate ranked tile contexts, 16-step proxy scan, 4 secant
-    # iters
+    # 128-candidate ranked tile contexts, 16-step proxy scan on the
+    # k=1 nearest-tangent-plane distance (same zero crossing; gated
+    # -0.004 dB with GT PSNR +0.04 vs k=8), 4 secant iters with the
+    # density re-bracket folded into the secant kernel
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
-                   secant_full_precision=False)
+                   secant_full_precision=False, scan_knn_k=1)
 
     # ---- headline: surface mode at production mesh scale, 65536
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate

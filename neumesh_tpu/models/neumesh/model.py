@@ -67,6 +67,7 @@ class NeuMesh:
         secant_full_precision: bool = True,
         secant_tiles_per_program: int = 1,
         scan_knn_k: int = 0,
+        full_tiles_per_program: int = 1,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -141,6 +142,13 @@ class NeuMesh:
         # half-step-widened re-bracket) for scan throughput. Density,
         # secant, and color interpolation always keep the model's k.
         self.scan_knn_k = scan_knn_k
+        # tiles batched per program of the FINAL full-field launch
+        # (ops/pallas_kernels.py::_field_kernel group): the surface
+        # render's one-sample-per-ray eval runs T=128-row matmuls that
+        # underutilize the MXU; rows are independent, so batching tiles
+        # is bit-exact. Unlike the secant group (sequential per-tile
+        # chain, measured slower), this batches a single pass.
+        self.full_tiles_per_program = full_tiles_per_program
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -850,6 +858,7 @@ class RayBoundNeuMesh:
             multires_view=m.embed_fn_view.multires,
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
             sample_block=m.pallas_sample_block,
+            group=(m.full_tiles_per_program if want == "full" else 1),
             interpret=jax.default_backend() != "tpu")
 
     # ---- v3 Pallas candidate path (ctx math only; ops/pallas_kernels.py)

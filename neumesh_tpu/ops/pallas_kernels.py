@@ -431,6 +431,22 @@ def _interp_distance(x0, x1, x2, geo, w1, k: int, want_dh: bool):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(
         jnp.float32)
     d2_tb = d2 * (1.0 + iota * 2e-7)
+
+    if k == 1 and not want_dh:
+        # nearest-tangent-plane fast path (the scan proxy): extract the
+        # argmin candidate's terms with one one-hot reduction each, then
+        # run the sqrt/divide chain — the expensive VPU transcendentals —
+        # on a single (Sblk, 1) column instead of all C candidates. The
+        # normalized weight of a 1-NN is exactly the one-hot mask.
+        thr1 = jnp.min(d2_tb, axis=-1, keepdims=True)
+        fm = (d2_tb <= thr1).astype(d2.dtype)       # exact one-hot
+        xn1 = x0 * ix + x1 * iy + x2 * iz
+        d2s = jnp.sum(fm * d2, axis=-1, keepdims=True)
+        nvs = jnp.sum(fm * (xn1 - vn), axis=-1, keepdims=True)
+        dsel = jnp.sqrt(jnp.maximum(d2s, 1e-20))
+        ds1 = (w1 * nvs + dsel * d2s) / (w1 + dsel)  # (Sblk, 1)
+        return ds1, fm
+
     cur = d2_tb
     for _ in range(k):
         thr = jnp.min(cur, axis=-1, keepdims=True)
@@ -515,7 +531,8 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
 def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
                   k: int, n_dens: int, n_col: int, want: str,
                   multires_d: int, multires_fg: int, multires_ft: int,
-                  multires_view: int, geometry_dim: int, dtype):
+                  multires_view: int, geometry_dim: int, dtype,
+                  group: int = 1):
     """refs = [dens weights..., color weights..., out rows...].
 
     xyz/dirs arrive TRANSPOSED as (8, Sblk) blocks (samples on the
@@ -523,11 +540,15 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     f32 operand/result of a TPU custom call is tiled T(8, 128) on its
     last two dims — a 43x memory/bandwidth blowup that OOMs large ray
     batches. The (8, Sblk)->(Sblk, 8) transposes here are exact
-    in-register relayouts."""
+    in-register relayouts.
+
+    group > 1 batches `group` tiles per program (final-eval fast path,
+    where Sblk == the tile size): candidate interpolation stays per-tile
+    but the MLPs — the MXU work — run once on the group*Sblk stacked
+    rows; T=128-row matmuls underutilize the systolic array. Bit-exact
+    per row vs group=1 (row-batching a matmul is exact)."""
     w1 = w1_ref[0]
-    x = xyz_ref[0].T                                 # (Sblk, 8)
-    geo = geo_ref[0]                                 # (8, C)
-    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    G = group
     want_nabla = want in ("density_nabla", "full")
 
     if want == "distance":
@@ -535,23 +556,42 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
         # feature blend, no MLP — ~3x the density throughput. Only row 0
         # of the output block is written (rows 1-7 stay undefined; the
         # host slices n_out=1 rows).
-        ds, _ = _interp_distance(x0, x1, x2, geo, w1, k, False)
-        refs[-1][0, 0:1, :] = ds.T
+        for g in range(G):
+            x = xyz_ref[g].T                         # (Sblk, 8)
+            ds, _ = _interp_distance(x[:, 0:1], x[:, 1:2], x[:, 2:3],
+                                     geo_ref[g], w1, k, False)
+            refs[-1][g, 0:1, :] = ds.T
         return
 
-    if want_nabla:
-        ds, W, (dhx, dhy, dhz) = _interp_distance(
-            x0, x1, x2, geo, w1, k, True)
-    else:
-        ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
+    def cat0(parts):
+        return parts[0] if G == 1 else jnp.concatenate(parts, axis=0)
 
-    # kNN feature blend: one MXU matmul against the context features,
-    # contracting the trailing C dim of both operands (feat is stored
-    # transposed (F, C) so its tiles carry no lane padding)
-    feats = jax.lax.dot_general(
-        W, feat_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision="highest")                              # (Sblk, F)
+    ds_p, W_p, dh_p, feats_p = [], [], [], []
+    for g in range(G):
+        x = xyz_ref[g].T                             # (Sblk, 8)
+        x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+        if want_nabla:
+            ds_g, W_g, dh_g = _interp_distance(
+                x0, x1, x2, geo_ref[g], w1, k, True)
+            dh_p.append(dh_g)
+        else:
+            ds_g, W_g = _interp_distance(x0, x1, x2, geo_ref[g], w1, k,
+                                         False)
+        # kNN feature blend: one MXU matmul against the context features,
+        # contracting the trailing C dim of both operands (feat is stored
+        # transposed (F, C) so its tiles carry no lane padding)
+        feats_p.append(jax.lax.dot_general(
+            W_g, feat_ref[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision="highest"))                    # (Sblk, F)
+        ds_p.append(ds_g)
+        W_p.append(W_g)
+    ds = cat0(ds_p)
+    feats = cat0(feats_p)
+    if want_nabla:
+        dhx = cat0([p[0] for p in dh_p])
+        dhy = cat0([p[1] for p in dh_p])
+        dhz = cat0([p[2] for p in dh_p])
     fg = feats[:, :geometry_dim]
     ft = feats[:, geometry_dim:] if want == "full" else None
 
@@ -577,14 +617,18 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
         dens, d_emb = _density_mlp(
             ds, fg, dens_ws, multires_d, multires_fg, dtype, False)
 
+    Sblk = ds.shape[0] // G
+
     def emit(cols):
-        # stack the (Sblk, 1) result columns and transpose once to the
-        # (8, Sblk) output rows (a 2D (1, Sblk) per-component output
-        # would need a block with second-minor dim 1, which Mosaic
+        # stack the (G*Sblk, 1) result columns and transpose once per
+        # tile to the (8, Sblk) output rows (a 2D (1, Sblk) per-component
+        # output would need a block with second-minor dim 1, which Mosaic
         # rejects; the unused rows of the density-only variant cost
         # ~0.05 ms/pass of HBM writes at 4096 rays)
         cols = cols + [jnp.zeros_like(dens)] * (8 - len(cols))
-        refs[-1][0] = jnp.concatenate(cols, axis=-1).T   # (8, Sblk)
+        stacked = jnp.concatenate(cols, axis=-1)         # (G*Sblk, 8)
+        for g in range(G):
+            refs[-1][g] = stacked[g * Sblk:(g + 1) * Sblk].T
 
     if want == "density":
         emit([dens])
@@ -595,7 +639,7 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
 
     # ---- color MLP: [nabla, d_emb, view_emb, ft_emb] @ W0 ...
     # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
-    vdir = dirs_ref[0].T[:, 0:3]                         # (Sblk, 3)
+    vdir = cat0([dirs_ref[g].T[:, 0:3] for g in range(G)])  # (G*Sblk, 3)
     cw0, cb0 = col_ws[0], col_ws[1]
     col_in = jnp.concatenate(
         [nx, ny, nz, d_emb, vdir, _emb_cols(vdir, multires_view),
@@ -625,13 +669,13 @@ def pack_ctx_geo(ctx):
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "interpret", "sample_block", "want", "multires_d", "multires_fg",
-    "multires_ft", "multires_view", "geometry_dim", "dtype"))
+    "multires_ft", "multires_view", "geometry_dim", "dtype", "group"))
 def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
                 k: int = 8, want: str = "density", multires_d: int = 8,
                 multires_fg: int = 2, multires_ft: int = 2,
                 multires_view: int = 4, geometry_dim: int = 32,
                 dtype=None, sample_block: int = 256,
-                interpret: bool = False):
+                interpret: bool = False, group: int = 1):
     """Fused NeuMesh field evaluation (see _field_kernel block comment).
 
     xyz: (B, S, 3); geo: (B, 8, C) packed candidate geometry; feat:
@@ -699,19 +743,23 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
         return pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    dirs_spec = (pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
+    G = max(1, min(int(group), B))
+    while B % G:
+        G -= 1
+
+    dirs_spec = (pl.BlockSpec((G, 8, sblk), lambda i, j: (i, 0, j),
                               memory_space=pltpu.VMEM)
                  if want == "full" else
-                 pl.BlockSpec((1, 8, 1), lambda i, j: (i, 0, 0),
+                 pl.BlockSpec((G, 8, 1), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
+        pl.BlockSpec((G, 8, sblk), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
         dirs_spec,
-        pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((G, 8, C), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, F, C), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((G, F, C), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [const_spec(a) for a in dens_ws] + [const_spec(a) for a in col_ws]
 
@@ -720,13 +768,17 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
             _field_kernel, k=k, n_dens=n_dens, n_col=n_col, want=want,
             multires_d=multires_d, multires_fg=multires_fg,
             multires_ft=multires_ft, multires_view=multires_view,
-            geometry_dim=geometry_dim, dtype=dtype),
-        grid=(B, S // sblk),
+            geometry_dim=geometry_dim, dtype=dtype, group=G),
+        grid=(B // G, S // sblk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, sblk), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((G, 8, sblk), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, S), jnp.float32),
         interpret=interpret,
+        # grouped programs unroll G per-tile interpolations (see
+        # secant_refine)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if G > 1 else None,
         name=f"field_fused_{want}",  # per-want trace attribution
     )(w1_arr, xq, dq, geo, feat_t, *dens_ws, *col_ws)
     return [out[:, i, :S0] for i in range(n_out)]

@@ -258,3 +258,42 @@ def test_candidate_field_with_sentinels():
     ds_x, dh_x, feats_x = xla_reference(xyz, pts, pp, ind, vn, feat, 0.12)
     np.testing.assert_allclose(np.asarray(ds), np.asarray(ds_x), atol=1e-5,
                                rtol=1e-4)
+
+
+def test_field_fused_full_group_matches_ungrouped():
+    """full_tiles_per_program > 1 batches tiles into one program of the
+    final full-field launch (_field_kernel group); rows are independent
+    and row-batching a matmul is exact, so (sdf, rgb, nablas) must match
+    the group=1 launch."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=12, n_phi=24)
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+
+    n = 32
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.12, 0.12, n)
+    d = jnp.stack([ang, jnp.zeros(n), jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(o, d)
+    pts = o + 0.5 * (near + far) * d                   # (n, 3)
+    outs = {}
+    for group in (1, 4):
+        m = NeuMesh(mg, D_density=2, D_color=2, W=32, geometry_dim=4,
+                    color_dim=4, multires_view=2, multires_d=4,
+                    multires_fg=1, multires_ft=1,
+                    enable_nablas_input=True,
+                    learn_indicator_weight=True, use_pallas=True,
+                    full_tiles_per_program=group)
+        params = m.init(jax.random.PRNGKey(0))
+        bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8)
+        sdf, rgb, nablas = bound.forward_full(
+            params, pts[:, None, :], d[:, None, :])
+        outs[group] = (np.asarray(sdf), np.asarray(rgb),
+                       np.asarray(nablas))
+    for a, b in zip(outs[1], outs[4]):
+        np.testing.assert_allclose(b, a, atol=1e-6)

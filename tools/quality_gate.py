@@ -127,10 +127,11 @@ def main():
                     help="N_secant_steps of the surface configs")
     ap.add_argument("--serving-kp", type=int, default=8,
                     help="tile_kp_per_probe of the surface models")
-    ap.add_argument("--scan-knn-k", type=int, default=0,
+    ap.add_argument("--scan-knn-k", type=int, default=1,
                     help="reduced-k kNN for the scan distance proxy "
-                         "(NeuMesh.scan_knn_k; 0 = full k=8). Applied to "
-                         "serving AND the f32 anchor (structural knob)")
+                         "(NeuMesh.scan_knn_k; 0 = full k=8; 1 is the "
+                         "bench.py serving default). Applied to serving "
+                         "AND the f32 anchor (structural knob)")
     ap.add_argument("--scan-candidates", type=int, default=0,
                     help="nearest-prefix candidate budget for scan + "
                          "secant (NeuMesh.scan_candidates; 0 = full). "

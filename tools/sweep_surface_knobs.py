@@ -132,6 +132,21 @@ if __name__ == "__main__":
         "serving_r3b_k1c64_s12": {**SERVING_R3, "steps": 12,
                                   "tile_kp_per_probe": 8, "scan_knn_k": 1,
                                   "scan_candidates": 64},
+        # r4 = the bench.py serving config after the re-bracket fold
+        "serving_r4": {**SERVING_R3, "steps": 16, "tile_kp_per_probe": 8,
+                       "scan_knn_k": 1},
+        "serving_r4_fullg4": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "full_tiles_per_program": 4},
+        "serving_r4_fullg8": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "full_tiles_per_program": 8},
+        "serving_r4_fullg16": {**SERVING_R3, "steps": 16,
+                               "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                               "full_tiles_per_program": 16},
+        "serving_r4_sec3": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                            "secant": 3},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
