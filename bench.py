@@ -57,7 +57,7 @@ def main():
     dev_mesh = get_device_mesh(n_dev) if n_dev > 1 else None
 
     def bench_surface(model, params, n_rays, tile, max_cand, iters=10,
-                      secant=4, steps=16):
+                      secant=3, steps=16):
         o_s, d_s = rays(n_rays)
         side = int(n_rays ** 0.5)
         perm, _ = block_order_indices(side, side, 8, 16)
@@ -90,8 +90,9 @@ def main():
     # secant (roots tolerate bf16), 8 candidates per probe cell,
     # 128-candidate ranked tile contexts, 16-step proxy scan on the
     # k=1 nearest-tangent-plane distance (same zero crossing; gated
-    # -0.004 dB with GT PSNR +0.04 vs k=8), 4 secant iters with the
-    # density re-bracket folded into the secant kernel
+    # -0.004 dB with GT PSNR +0.04 vs k=8), 3 secant iters with the
+    # density re-bracket folded into the secant kernel (gated -0.001 dB,
+    # GT -0.02 vs 4 iters; depth pin 4.8e-4)
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
                    secant_full_precision=False, scan_knn_k=1)

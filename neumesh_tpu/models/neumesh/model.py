@@ -146,8 +146,11 @@ class NeuMesh:
         # (ops/pallas_kernels.py::_field_kernel group): the surface
         # render's one-sample-per-ray eval runs T=128-row matmuls that
         # underutilize the MXU; rows are independent, so batching tiles
-        # is bit-exact. Unlike the secant group (sequential per-tile
-        # chain, measured slower), this batches a single pass.
+        # is bit-exact. Measured NEUTRAL-to-SLOWER on v5e at the
+        # production config (g4 2.566 / g8 2.445 vs g1 2.570 Mrays/s):
+        # like the secant group, per-program VMEM growth hurts
+        # double-buffering more than the fatter matmuls help. Kept
+        # opt-in for small-batch serving.
         self.full_tiles_per_program = full_tiles_per_program
 
         # f32 (compute_dtype=None) is the parity/training mode: exact

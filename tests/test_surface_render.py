@@ -250,13 +250,14 @@ def _wrap_tiled(tb):
     return _DistanceFieldModel._Bound(bound), near, far
 
 
-@pytest.mark.parametrize("steps,secant", [(24, 6), (16, 4)])
+@pytest.mark.parametrize("steps,secant", [(24, 6), (16, 4), (16, 3)])
 def test_fast_config_depth_accuracy(steps, secant):
     """The throughput configurations (short scan + few secant steps on
     the distance proxy) must still localise the surface to
     sub-millimeter accuracy on the analytic sphere — the quality gate
-    for making surface mode the fast render path. (16, 4) is the round-3
-    serving config (bench.py)."""
+    for making surface mode the fast render path. (16, 3) is the round-3
+    serving config (bench.py; max |err| 4.8e-4 here, vs 6.6e-5 at 4
+    secant iters — the gate scene scores them within 0.02 dB)."""
     model = _ProxyModel()
     o, d = rays(64)
     _, depths, extras = surface_render(

@@ -123,8 +123,9 @@ def main():
                          "surface configs (serving AND its f32 parity "
                          "anchor share the structural config; the gated "
                          "delta isolates precision)")
-    ap.add_argument("--surface-secant", type=int, default=4,
-                    help="N_secant_steps of the surface configs")
+    ap.add_argument("--surface-secant", type=int, default=3,
+                    help="N_secant_steps of the surface configs "
+                         "(bench.py serving default)")
     ap.add_argument("--serving-kp", type=int, default=8,
                     help="tile_kp_per_probe of the surface models")
     ap.add_argument("--scan-knn-k", type=int, default=1,

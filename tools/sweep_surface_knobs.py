@@ -147,6 +147,15 @@ if __name__ == "__main__":
         "serving_r4_sec3": {**SERVING_R3, "steps": 16,
                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
                             "secant": 3},
+        # r5 = r4 + sec3 (the serving config after the sec3 gate)
+        "serving_r5": {**SERVING_R3, "steps": 16, "tile_kp_per_probe": 8,
+                       "scan_knn_k": 1, "secant": 3},
+        "serving_r5_c64": {**SERVING_R3, "steps": 16,
+                           "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                           "secant": 3, "scan_candidates": 64},
+        "serving_r5_c96": {**SERVING_R3, "steps": 16,
+                           "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                           "secant": 3, "scan_candidates": 96},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]

@@ -15,9 +15,19 @@ tile = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 sblk = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
 use_pallas = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+subdiv = int(sys.argv[5]) if len(sys.argv) > 5 else 5
+kp = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+bh = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+bw = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 
-model, params = build(bool(use_pallas), sblk)
+model, params = build(bool(use_pallas), sblk, subdivisions=subdiv,
+                      tile_kp_per_probe=kp)
 o, d = rays(n)
+if bh:
+    from neumesh_tpu.ops.rays import block_order_indices
+    side = int(n ** 0.5)
+    perm, _ = block_order_indices(side, side, bh, bw)
+    o, d = o[perm], d[perm]
 
 @jax.jit
 def render(params, o, d):
@@ -59,6 +69,8 @@ top = 0.0
 for e in ev:
     args = e.get("args", {})
     src = args.get("source", e.get("name", "?"))
+    if "pallas" in str(src):
+        src = f"{src} [{str(e.get('name', ''))[:46]}]"
     dur = e.get("dur", 0)
     agg[src] += dur
     total += dur
