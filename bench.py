@@ -132,7 +132,8 @@ def main():
                 model7v, params, o, d, jax.random.PRNGKey(0),
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
-                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64)
+                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64,
+                color_topk=16)
         return ret["rgb"]
 
     bufs7 = mg7.device_buffers()

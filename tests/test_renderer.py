@@ -146,3 +146,39 @@ def test_jit_and_grad_through_renderer():
     assert np.isfinite(np.asarray(g["r"]))
     assert np.all(np.isfinite(np.asarray(g["c"])))
     assert np.abs(np.asarray(g["c"])).max() > 0
+
+
+def test_color_topk_matches_full():
+    """color_topk composites radiance from only the K highest-visibility
+    midpoints (serving fast path; the NeuS weights concentrate at the
+    surface crossing); with a position-dependent color the result must
+    match the full-midpoint composite to the dropped tail's mass, and
+    depth/acc maps must be bit-identical (they keep the full set)."""
+    class TintedSphere(SphereModel):
+        def forward(self, params, x, view_dirs):
+            sdf = self.forward_density_only(params, x)
+            rgb = jax.nn.sigmoid(3.0 * x + 0.3)
+            return sdf, rgb
+
+    model = TintedSphere()
+    o, d = camera_rays(64)
+    kw = dict(detailed_output=False, perturb=False,
+              bounded_near_far=False, N_samples=64, N_importance=64,
+              N_upsample_iters=4)
+    full = volume_render_rays(model, {}, o, d, jax.random.PRNGKey(0),
+                              **kw)
+    topk = volume_render_rays(model, {}, o, d, jax.random.PRNGKey(0),
+                              color_topk=16, **kw)
+    np.testing.assert_array_equal(np.asarray(topk["depth_volume"]),
+                                  np.asarray(full["depth_volume"]))
+    np.testing.assert_array_equal(np.asarray(topk["mask_volume"]),
+                                  np.asarray(full["mask_volume"]))
+    np.testing.assert_allclose(np.asarray(topk["rgb"]),
+                               np.asarray(full["rgb"]), atol=2e-3)
+    # detailed_output must ignore the knob (training/distill semantics)
+    det = volume_render_rays(model, {}, o, d, jax.random.PRNGKey(0),
+                             color_topk=16, detailed_output=True,
+                             perturb=False, bounded_near_far=False,
+                             N_samples=64, N_importance=64,
+                             N_upsample_iters=4)
+    assert det["radiance"].shape[-2] == 127

@@ -240,7 +240,7 @@ def main():
         params = restore_into(params, ck["model"])
         return model, params
 
-    def volume_one(model, params, tile=16, blocks=None):
+    def volume_one(model, params, tile=16, blocks=None, color_topk=0):
         perm = inv = None
         if blocks is not None:
             from neumesh_tpu.ops.rays import block_order_indices
@@ -256,7 +256,7 @@ def main():
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True,
-                ray_tile=tile)["rgb"]
+                ray_tile=tile, color_topk=color_topk)["rgb"]
             return out if inv is None else out[inv]
         return r
 
@@ -285,8 +285,8 @@ def main():
     # the volume SERVING config (bench.py volume_mrays): bf16 fused
     # kernels, tile=64 contexts over 8x8 pixel blocks
     m16, p16 = make_model(True, "bf16")
-    eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8)),
-                 "volume_bf16")
+    eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
+                            color_topk=16), "volume_bf16")
     # surface-mode parity anchor: the f32 fused-kernel surface render at
     # the SAME structural config (steps/secant/kp) as the serving mode —
     # the gated delta then isolates precision (bf16 + selective-f32)
