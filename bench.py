@@ -82,20 +82,21 @@ def main():
         out.block_until_ready()
         return n_rays * iters / (time.perf_counter() - t0) / 1e6
 
-    # the quality-gated serving configuration (tools/quality_gate.py:
-    # surface_fast within 0.1 dB of the f32 surface parity anchor at the
-    # same structural config, measured -0.004 dB; GT PSNR beats the old
-    # 24-step/kp12 config by +0.6 dB on the gate scene): bf16 +
-    # selective-f32 first/head layers for the final eval, low-precision
-    # secant (roots tolerate bf16), 8 candidates per probe cell,
-    # 128-candidate ranked tile contexts, 16-step proxy scan on the
-    # k=1 nearest-tangent-plane distance (same zero crossing; gated
-    # -0.004 dB with GT PSNR +0.04 vs k=8), 3 secant iters with the
-    # density re-bracket folded into the secant kernel (gated -0.001 dB,
-    # GT -0.02 vs 4 iters; depth pin 4.8e-4)
+    # the quality-gated serving configuration (tools/quality_gate.py at
+    # these defaults: serving within 0.1 dB of the f32 surface parity
+    # anchor at the same structural config, measured -0.011 dB; the
+    # structural knobs themselves RAISE GT PSNR +0.5 dB over the round-2
+    # config on the gate scene): bf16 + selective-f32 first/head layers
+    # for the final eval, low-precision secant (roots tolerate bf16),
+    # cell-level pre-rank (32 nearest cells/tile) feeding 8 candidates
+    # per cell into 128-candidate ranked tile contexts, 16-step proxy
+    # scan on the k=1 nearest-tangent-plane distance (same zero
+    # crossing), 3 secant iters with the density re-bracket folded into
+    # the secant kernel (depth pin 4.8e-4)
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
-                   secant_full_precision=False, scan_knn_k=1)
+                   secant_full_precision=False, scan_knn_k=1,
+                   tile_cell_budget=32)
 
     # ---- headline: surface mode at production mesh scale, 65536
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate
@@ -117,7 +118,7 @@ def main():
     # gate on; tile=64 contexts over 8x8 pixel blocks, scored by
     # tools/quality_gate.py volume_bf16)
     model7v, params7v = build(use_pallas=True, sblk=512, subdivisions=7,
-                              tile_kp_per_probe=12)
+                              tile_kp_per_probe=12, tile_cell_budget=32)
     n_vol = 16384
     o_v, d_v = rays(n_vol)
     side_v = int(n_vol ** 0.5)

@@ -71,6 +71,7 @@ def get_model(args, key=None):
         "scan_knn_k": model_args.get("scan_knn_k", 0),
         "secant_full_precision": model_args.get(
             "secant_full_precision", True),
+        "tile_cell_budget": model_args.get("tile_cell_budget", 0),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

@@ -68,6 +68,7 @@ class NeuMesh:
         secant_tiles_per_program: int = 1,
         scan_knn_k: int = 0,
         full_tiles_per_program: int = 1,
+        tile_cell_budget: int = 0,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -152,6 +153,11 @@ class NeuMesh:
         # double-buffering more than the fatter matmuls help. Kept
         # opt-in for small-batch serving.
         self.full_tiles_per_program = full_tiles_per_program
+        # cell-level pre-rank budget of the tile context build (see
+        # make_tile_context): expand candidate lists only for the
+        # `tile_cell_budget` unique cells nearest the tile's segment.
+        # 0 = off (expand every probe's cell).
+        self.tile_cell_budget = tile_cell_budget
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -492,7 +498,52 @@ class NeuMesh:
         # slowest primitive on TPU)
         kp = (min(kp_per_probe, grid.Kp) if kp_per_probe is not None
               else grid.Kp)
-        cand = grid.cand_idx[:, :kp][grid.cell_row[flat]]  # (R, P, kp)
+
+        cb = self.tile_cell_budget
+        if cb and cb < T * flat.shape[-1]:
+            # cell-level pre-rank: a tile's T*P probes land in only a
+            # handful of UNIQUE grid cells (coherent pixel-block rays),
+            # so dedup + rank the CELLS by segment distance of their
+            # centers first and expand only the `cb` nearest cells'
+            # candidate lists — the downstream id-dedup sort, ranking
+            # gather, and rank sort then run on cb*kp slots instead of
+            # T*P*kp (8-16x smaller at the serving config). Duplicate
+            # cells get an inf key; if a tile has fewer than cb unique
+            # cells the dups re-enter, produce duplicate candidate ids,
+            # and are sentineled by the id-dedup below.
+            cells = flat.reshape(Rt, -1)                 # (Rt, T*P)
+            cells = jnp.sort(cells, axis=-1)
+            dupc = jnp.concatenate(
+                [jnp.zeros((Rt, 1), bool), cells[:, 1:] == cells[:, :-1]],
+                axis=-1)
+            d12 = dims[1] * dims[2]
+            c0 = cells // d12
+            c1 = (cells // dims[2]) % dims[1]
+            c2 = cells % dims[2]
+            h = 1.0 / grid.inv_h
+            ccx = grid.origin[0] + (c0.astype(jnp.float32) + 0.5) * h
+            ccy = grid.origin[1] + (c1.astype(jnp.float32) + 0.5) * h
+            ccz = grid.origin[2] + (c2.astype(jnp.float32) + 0.5) * h
+            o_cc = jnp.mean(rays_o.reshape(Rt, T, 3), axis=1)
+            d_cc = jnp.mean(rays_d.reshape(Rt, T, 3), axis=1)
+            d_cc = d_cc / jnp.maximum(
+                jnp.linalg.norm(d_cc, axis=-1, keepdims=True), 1e-12)
+            nr_t = jnp.min(near.reshape(Rt, T), axis=1)[:, None]
+            fr_t = jnp.max(far.reshape(Rt, T), axis=1)[:, None]
+            ov0 = ccx - o_cc[:, None, 0]
+            ov1 = ccy - o_cc[:, None, 1]
+            ov2 = ccz - o_cc[:, None, 2]
+            t_cc = (ov0 * d_cc[:, None, 0] + ov1 * d_cc[:, None, 1]
+                    + ov2 * d_cc[:, None, 2])
+            u_cc = jnp.clip(t_cc, nr_t, fr_t)
+            d2c = (ov0 * ov0 + ov1 * ov1 + ov2 * ov2
+                   - (2.0 * t_cc - u_cc) * u_cc)
+            key = jnp.where(dupc, jnp.inf, d2c)
+            _, cells_sel = jax.lax.sort((key, cells), dimension=-1,
+                                        num_keys=1)
+            flat = cells_sel[:, :cb]                     # (Rt, cb)
+
+        cand = grid.cand_idx[:, :kp][grid.cell_row[flat]]
         ids = cand.reshape(Rt, -1)                       # (Rt, C0)
 
         ids = jnp.sort(ids, axis=-1)

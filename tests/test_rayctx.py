@@ -270,3 +270,35 @@ def test_pallas_forward_matches_xla_path():
     sn_x, n_x = b_x.forward_with_nablas(params, pts)
     sn_p, n_p = b_p.forward_with_nablas(params, pts)
     close(n_p, n_x, 2e-3)
+
+
+def test_tile_cell_budget_contexts():
+    """tile_cell_budget pre-ranks CELLS before expanding candidate lists
+    (make_tile_context). With a budget >= the tile's unique cell count
+    the resulting context must select the same candidate set as the
+    unbudgeted build (densities identical); a tight budget must still
+    keep the near-surface candidates (density error bounded on the
+    sphere)."""
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True)
+    o, d = camera_rays(16)
+    near, far = near_far_from_sphere(o, d)
+    t = jnp.linspace(0.2, 0.3, 6)
+    z = near * (1 - t) + far * t
+    pts = o[:, None, :] + z[..., None] * d[:, None, :]
+
+    outs = {}
+    for cb in (0, 256, 16):
+        m = NeuMesh(mg, tile_cell_budget=cb, **kw)
+        params = m.init(jax.random.PRNGKey(0))
+        bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8)
+        outs[cb] = np.asarray(
+            bound.forward_density_only(params, pts))
+    # generous budget (>= T*P probe slots) selects identical candidates
+    np.testing.assert_array_equal(outs[256], outs[0])
+    # tight budget keeps the near-surface field intact
+    np.testing.assert_allclose(outs[16], outs[0], atol=1e-5)

@@ -133,6 +133,10 @@ def main():
                          "(NeuMesh.scan_knn_k; 0 = full k=8; 1 is the "
                          "bench.py serving default). Applied to serving "
                          "AND the f32 anchor (structural knob)")
+    ap.add_argument("--tile-cell-budget", type=int, default=32,
+                    help="cell-level pre-rank budget of the tile context "
+                         "build (NeuMesh.tile_cell_budget; 0 = off). "
+                         "Applied to serving AND the f32 anchor")
     ap.add_argument("--scan-candidates", type=int, default=0,
                     help="nearest-prefix candidate budget for scan + "
                          "secant (NeuMesh.scan_candidates; 0 = full). "
@@ -231,6 +235,8 @@ def main():
                 cfg.model["scan_knn_k"] = args.scan_knn_k
             if args.scan_candidates:
                 cfg.model["scan_candidates"] = args.scan_candidates
+            if args.tile_cell_budget:
+                cfg.model["tile_cell_budget"] = args.tile_cell_budget
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:
@@ -311,6 +317,8 @@ def main():
         results["scan_knn_k"] = args.scan_knn_k
     if args.scan_candidates:
         results["scan_candidates"] = args.scan_candidates
+    if args.tile_cell_budget:
+        results["tile_cell_budget"] = args.tile_cell_budget
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(

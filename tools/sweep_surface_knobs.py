@@ -156,6 +156,15 @@ if __name__ == "__main__":
         "serving_r5_c96": {**SERVING_R3, "steps": 16,
                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
                            "secant": 3, "scan_candidates": 96},
+        "serving_r5_cb32": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                            "secant": 3, "tile_cell_budget": 32},
+        "serving_r5_cb48": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                            "secant": 3, "tile_cell_budget": 48},
+        "serving_r5_cb24": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                            "secant": 3, "tile_cell_budget": 24},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
