@@ -69,6 +69,7 @@ class NeuMesh:
         scan_knn_k: int = 0,
         full_tiles_per_program: int = 1,
         tile_cell_budget: int = 0,
+        secant_rebracket: bool = True,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -158,6 +159,12 @@ class NeuMesh:
         # `tile_cell_budget` unique cells nearest the tile's segment.
         # 0 = off (expand every probe's cell).
         self.tile_cell_budget = tile_cell_budget
+        # False skips the density re-bracket of the proxy scan (the
+        # secant then starts from the proxy bracket and its proxy f
+        # values, self-correcting from the first density evaluation) —
+        # one fewer in-kernel density pass per frame; quality-gated
+        # before any serving use.
+        self.secant_rebracket = secant_rebracket
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the

@@ -57,6 +57,7 @@ def root_finding_surface_points(
     fill_inf: bool = True,
     refine_query_fn=None,
     secant_override=None,
+    rebracket: bool = True,
 ):
     """DVR-style root finding (reference ray_casting.py:45-200).
     Sign convention: (+) outside, (-) inside.
@@ -66,7 +67,9 @@ def root_finding_surface_points(
     on surface_query_fn (e.g. the interpolated mesh distance, ~an order
     of magnitude cheaper than the density MLP) and only the secant
     refinement evaluates refine_query_fn (the true density), after
-    re-bracketing it at the scan endpoints."""
+    re-bracketing it at the scan endpoints (rebracket=False skips the
+    re-bracket: the secant starts from the proxy bracket/values and
+    self-corrects from its first true-field evaluation)."""
     prefix = rays_o.shape[:-1]
     near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), prefix)
     far_t = jnp.broadcast_to(jnp.asarray(far, jnp.float32), prefix)
@@ -102,10 +105,10 @@ def root_finding_surface_points(
     mask_pos_to_neg = f_high > 0
     mask = mask_sign_change & mask_pos_to_neg & mask_0_not_occupied
 
-    fold_rebracket = (refine_query_fn is not None
-                      and method == "secant"
+    do_rebracket = refine_query_fn is not None and rebracket
+    fold_rebracket = (do_rebracket and method == "secant"
                       and secant_override is not None)
-    if refine_query_fn is not None and not fold_rebracket:
+    if do_rebracket and not fold_rebracket:
         # re-bracket the true field at the proxy-scan endpoints (the
         # proxy root and the density root sit within the same step when
         # the density is distilled from the mesh distance); fall back to
@@ -122,13 +125,11 @@ def root_finding_surface_points(
         f_low = jnp.where(ok, f_low_r, f_low)
         d_high = jnp.where(ok, d_high_w, d_high)
         d_low = jnp.where(ok, d_low_w, d_low)
-        # secant iterates the true field everywhere; the rare rays whose
-        # density root drifted outside the half-step-widened proxy
-        # bracket keep the proxy endpoints and still converge inside
-        # the scan cell
-        secant_fn = refine_query_fn
-    else:
-        secant_fn = surface_query_fn
+    # secant iterates the true field whenever one is given; the rare
+    # rays whose density root drifted outside the (possibly re-bracketed)
+    # proxy bracket still converge inside the scan cell
+    secant_fn = (refine_query_fn if refine_query_fn is not None
+                 else surface_query_fn)
 
     if method == "secant" and secant_override is not None:
         # fused refinement: all iterations in one kernel launch. With a
@@ -246,6 +247,10 @@ def surface_render(
             return model.forward_density_only(
                 params, pts[:, None, :])[..., 0]
         return model.forward_density_only(params, pts)
+
+    ray_casting_cfgs.setdefault(
+        "rebracket",
+        getattr(getattr(model, "model", None), "secant_rebracket", True))
 
     refine_fn = None
     scan_fn = query_fn

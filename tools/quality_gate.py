@@ -133,6 +133,12 @@ def main():
                          "(NeuMesh.scan_knn_k; 0 = full k=8; 1 is the "
                          "bench.py serving default). Applied to serving "
                          "AND the f32 anchor (structural knob)")
+    ap.add_argument("--surface-tile", type=int, default=128,
+                    help="rays per shared tile context of the surface "
+                         "configs (bench.py serving default)")
+    ap.add_argument("--surface-blocks", type=int, nargs=2,
+                    default=(8, 16),
+                    help="pixel-block shape feeding the tiles")
     ap.add_argument("--tile-cell-budget", type=int, default=32,
                     help="cell-level pre-rank budget of the tile context "
                          "build (NeuMesh.tile_cell_budget; 0 = off). "
@@ -269,14 +275,16 @@ def main():
     def surface_one(model, params, steps=24, secant=4):
         from neumesh_tpu.ops.rays import block_order_indices
         ds0 = get_data(mcfg, downscale=1)
-        perm, inv = block_order_indices(ds0.H, ds0.W, 8, 16)
+        bh, bw = args.surface_blocks
+        perm, inv = block_order_indices(ds0.H, ds0.W, bh, bw)
 
         @jax.jit
         def r(ro, rd):
             # pixel-block tiling: compact ray bundles per shared cache
             # (the bench.py headline configuration)
             c, _, _ = surface_render(
-                model, params, ro[perm], rd[perm], ray_tile=128,
+                model, params, ro[perm], rd[perm],
+                ray_tile=args.surface_tile,
                 scan_mode="distance", tile_max_candidates=128,
                 ray_casting_cfgs={"N_steps": steps,
                                   "N_secant_steps": secant})
@@ -319,6 +327,8 @@ def main():
         results["scan_candidates"] = args.scan_candidates
     if args.tile_cell_budget:
         results["tile_cell_budget"] = args.tile_cell_budget
+    if args.surface_tile != 128:
+        results["surface_tile"] = args.surface_tile
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(

@@ -165,6 +165,35 @@ if __name__ == "__main__":
         "serving_r5_cb24": {**SERVING_R3, "steps": 16,
                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
                             "secant": 3, "tile_cell_budget": 24},
+        # r6 = r5 + cb32 (the bench.py serving config)
+        "serving_r6": {**SERVING_R3, "steps": 16, "tile_kp_per_probe": 8,
+                       "scan_knn_k": 1, "secant": 3,
+                       "tile_cell_budget": 32},
+        # t256 measured 3.72 vs 3.28 Mrays/s but FAILS the quality gate
+        # (surface GT -3.8 dB at 128 shared candidates over a 16x16
+        # pixel patch on the 128px gate scene) — kept for measurement
+        # only, NOT a serving config
+        "serving_r6_t256": {**SERVING_R3, "steps": 16,
+                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                            "secant": 3, "tile_cell_budget": 48,
+                            "tile": 256, "bh": 16, "bw": 16},
+        "serving_r6_kp12": {**SERVING_R3, "steps": 16, "scan_knn_k": 1,
+                            "secant": 3, "tile_cell_budget": 32},
+        "serving_r6_s12": {**SERVING_R3, "steps": 12,
+                           "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                           "secant": 3, "tile_cell_budget": 32},
+        "serving_r6_noRB4": {**SERVING_R3, "steps": 16,
+                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                             "secant": 4, "tile_cell_budget": 32,
+                             "secant_rebracket": False},
+        "serving_r6_noRB3": {**SERVING_R3, "steps": 16,
+                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                             "secant": 3, "tile_cell_budget": 32,
+                             "secant_rebracket": False},
+        "serving_r6_c96": {**SERVING_R3, "steps": 16,
+                           "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                           "secant": 3, "tile_cell_budget": 32,
+                           "scan_candidates": 96},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
