@@ -72,6 +72,7 @@ def get_model(args, key=None):
         "secant_full_precision": model_args.get(
             "secant_full_precision", True),
         "tile_cell_budget": model_args.get("tile_cell_budget", 0),
+        "secant_rebracket": model_args.get("secant_rebracket", True),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

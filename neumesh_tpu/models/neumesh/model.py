@@ -162,8 +162,11 @@ class NeuMesh:
         # False skips the density re-bracket of the proxy scan (the
         # secant then starts from the proxy bracket and its proxy f
         # values, self-correcting from the first density evaluation) —
-        # one fewer in-kernel density pass per frame; quality-gated
-        # before any serving use.
+        # one fewer in-kernel density pass per frame. Measured on v5e at
+        # the production config: noRB + 4 iters = 3.46 vs 3.28 Mrays/s
+        # but GT PSNR -0.26 dB on the gate scene (proxy-seeded brackets
+        # occasionally clamp the root a half-step off) — NOT the serving
+        # default; the GT budget is reserved for DTU parity.
         self.secant_rebracket = secant_rebracket
 
         # f32 (compute_dtype=None) is the parity/training mode: exact

@@ -133,6 +133,10 @@ def main():
                          "(NeuMesh.scan_knn_k; 0 = full k=8; 1 is the "
                          "bench.py serving default). Applied to serving "
                          "AND the f32 anchor (structural knob)")
+    ap.add_argument("--no-secant-rebracket", action="store_true",
+                    help="skip the density re-bracket of the proxy scan "
+                         "(NeuMesh.secant_rebracket=False); the secant "
+                         "starts from the proxy bracket")
     ap.add_argument("--surface-tile", type=int, default=128,
                     help="rays per shared tile context of the surface "
                          "configs (bench.py serving default)")
@@ -243,6 +247,8 @@ def main():
                 cfg.model["scan_candidates"] = args.scan_candidates
             if args.tile_cell_budget:
                 cfg.model["tile_cell_budget"] = args.tile_cell_budget
+            if args.no_secant_rebracket:
+                cfg.model["secant_rebracket"] = False
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:
@@ -329,6 +335,8 @@ def main():
         results["tile_cell_budget"] = args.tile_cell_budget
     if args.surface_tile != 128:
         results["surface_tile"] = args.surface_tile
+    if args.no_secant_rebracket:
+        results["secant_rebracket"] = False
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(
