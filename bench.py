@@ -92,7 +92,8 @@ def main():
     # per cell into 128-candidate ranked tile contexts, 16-step proxy
     # scan on the k=1 nearest-tangent-plane distance (same zero
     # crossing), 3 secant iters with the density re-bracket folded into
-    # the secant kernel (depth pin 4.8e-4)
+    # the secant kernel (depth pin 4.8e-4). secant_frozen_knn measured
+    # a wash at 3 iters (gate -0.045 dB but +-0% throughput) — opt-in
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
                    secant_full_precision=False, scan_knn_k=1,

@@ -70,6 +70,7 @@ class NeuMesh:
         full_tiles_per_program: int = 1,
         tile_cell_budget: int = 0,
         secant_rebracket: bool = True,
+        secant_frozen_knn: bool = False,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -168,6 +169,16 @@ class NeuMesh:
         # occasionally clamp the root a half-step off) — NOT the serving
         # default; the GT budget is reserved for DTU parity.
         self.secant_rebracket = secant_rebracket
+        # freeze the secant's per-ray top-k candidate selection at the
+        # bracket midpoint (all refinement evals lie within ~one scan
+        # step, so the 8-NN set is near-identical across them); the
+        # per-eval interpolation chain then runs on k compacted columns
+        # instead of all C candidates (ops/pallas_kernels.py::
+        # _secant_kernel frozen). Opt-in: quality-gated at -0.045 dB
+        # but a throughput WASH at the serving config's 3 secant iters
+        # (the secant is too small a slice of the frame); may pay at
+        # higher iteration counts.
+        self.secant_frozen_knn = secant_frozen_knn
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -985,6 +996,7 @@ class RayBoundNeuMesh:
             tile=rays_o.shape[0] // self.ctx["geo"].shape[0],
             logit_tau=logit_tau, group=m.secant_tiles_per_program,
             d_low_w=d_low_w, d_high_w=d_high_w,
+            frozen_knn=m.secant_frozen_knn,
             interpret=jax.default_backend() != "tpu")
 
     def fused_locate(self, params, rays_o, rays_d, near, far,

@@ -979,7 +979,8 @@ def surface_locate(rays_o, rays_d, near, far, geo, feat, w1, dens_ws, *,
 def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
                    k: int, n_iters: int, multires_d: int, multires_fg: int,
                    geometry_dim: int, dtype, logit_tau: float,
-                   group: int = 1, rebracket: bool = False):
+                   group: int = 1, rebracket: bool = False,
+                   frozen: bool = False):
     """od rows: [ox oy oz dx dy dz 0 0]; br rows: [d_low d_high f_low
     f_high d_low_w d_high_w 0 0]; refs = [dens weights..., out]. Mirrors
     render.ray_casting.run_secant_method exactly.
@@ -997,7 +998,20 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
     refine_query_fn block) into the same program: two in-register density
     passes at the half-step-widened endpoints [d_low_w, d_high_w] replace
     two whole-frame field launches, falling back to the proxy bracket
-    where the true field does not straddle the root."""
+    where the true field does not straddle the root.
+
+    frozen=True (serving approximation, quality-gated): the per-ray
+    top-k candidate SELECTION is computed once, at the bracket midpoint,
+    instead of at every density eval. All evals lie within ~one scan
+    step of each other, so the 8-NN set is almost always identical
+    across them; freezing it lets every per-candidate quantity be
+    factored as a quadratic in the ray depth d —
+        |o + d·r − p|² = A + 2dB + d²,   (x·n − vn) = E + dF
+    with (A, B, E, F) extracted to (T, k) columns via the selection
+    one-hots. Each of the ~n_iters+2 density evals then runs its
+    sqrt/divide/weight chain on k=8 columns instead of all C=128 — the
+    wide per-eval work drops to the k one-hot FMAs that rebuild the
+    (T, C) weight row for the feature matmul."""
     w1 = w1_ref[0]
     G = group
     T = od_ref.shape[2]
@@ -1014,7 +1028,7 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
     d_low, d_high = cat(brt, 0), cat(brt, 1)
     f_low, f_high = cat(brt, 2), cat(brt, 3)
 
-    def field(d_eval):
+    def field_full(d_eval):
         """Density at o + d_eval·r, (G·T, 1) rows (per-tile candidate
         interpolation, one stacked MLP pass — the iteration body)."""
         x0 = o0 + d_eval * r0
@@ -1036,6 +1050,95 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
         f, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
                             dtype, False)
         return f - logit_tau
+
+    if frozen:
+        # one-time per-tile top-k selection at the bracket midpoint
+        # (the WIDENED bracket when the re-bracket is folded in, so the
+        # rebracket endpoints lie inside the selection's validity range)
+        if rebracket:
+            d_mid = 0.5 * (cat(brt, 4) + cat(brt, 5))
+        else:
+            d_mid = 0.5 * (d_low + d_high)
+        sel = []
+        for g in range(G):
+            sl = slice(g * T, (g + 1) * T)
+            geo = geo_ref[g]
+            px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
+            ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
+            vn = geo[7:8, :]
+            C = geo.shape[1]
+            o0g, o1g, o2g = o0[sl], o1[sl], o2[sl]
+            r0g, r1g, r2g = r0[sl], r1[sl], r2[sl]
+            dm = d_mid[sl]
+            # quadratic factorization CENTERED at the bracket midpoint
+            # (δ = d − d_mid): |x_mid + δ·r − p|² = A + 2δB + δ² with A
+            # built from direct (x_mid − p) differences — every term is
+            # bracket-scale, so the f32 reconstruction error is ~100×
+            # smaller than factoring around the ray origin (|o−p|² ≈ 9,
+            # cross ≈ −15 would cancel to a ~0.1-sized result)
+            dx = (o0g + dm * r0g) - px
+            dy = (o1g + dm * r1g) - py
+            dz = (o2g + dm * r2g) - pz
+            Aq = dx * dx + dy * dy + dz * dz       # |x_mid − p|²
+            Bq = dx * r0g + dy * r1g + dz * r2g    # (x_mid − p)·r
+            Eq = ((o0g + dm * r0g) * ix + (o1g + dm * r1g) * iy
+                  + (o2g + dm * r2g) * iz) - vn    # x_mid·n − vn
+            Fq = r0g * ix + r1g * iy + r2g * iz    # r·n
+            # pad columns carry pp=1e12 in row 6 but zero positions —
+            # rebuild their sentinel distance so they are never selected
+            d2m = Aq + geo[6:7, :] * (geo[6:7, :] >= 1e11).astype(
+                jnp.float32)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, C), 1).astype(jnp.float32)
+            cur = d2m * (1.0 + iota * 2e-7)
+            masks = []
+            for _ in range(k):
+                thr = jnp.min(cur, axis=-1, keepdims=True)
+                fm = (cur <= thr).astype(jnp.float32)    # exact one-hot
+                cur = jnp.where(fm > 0.0, jnp.inf, cur)
+                masks.append(fm)
+
+            def pick(q):
+                return jnp.concatenate(
+                    [jnp.sum(m * q, axis=-1, keepdims=True)
+                     for m in masks], axis=-1)           # (T, k)
+
+            sel.append((masks, pick(Aq), pick(Bq), pick(Eq), pick(Fq),
+                        dm))
+
+        def field(d_eval):
+            ds_parts, fg_parts = [], []
+            for g in range(G):
+                masks, A8, B8, E8, F8, dm = sel[g]
+                de = d_eval[g * T:(g + 1) * T] - dm
+                d2 = jnp.maximum(A8 + (2.0 * de) * B8 + de * de, 1e-20)
+                d = jnp.sqrt(d2)                                # (T, k)
+                w_raw = 1.0 / (d + 1e-7)
+                W8 = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)
+                term = w1 * (E8 + de * F8) + d * d2
+                ds_g = jnp.sum(W8 * term / (w1 + d), axis=-1,
+                               keepdims=True)
+                # weight row back in candidate space for the MXU feature
+                # interpolation: k one-hot FMAs (the only wide per-eval
+                # work)
+                W_C = masks[0] * W8[:, 0:1]
+                for r in range(1, k):
+                    W_C = W_C + masks[r] * W8[:, r:r + 1]
+                fg_g = jax.lax.dot_general(
+                    W_C, feat_ref[g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision="highest")[:, :geometry_dim]
+                ds_parts.append(ds_g)
+                fg_parts.append(fg_g)
+            ds = (ds_parts[0] if G == 1
+                  else jnp.concatenate(ds_parts, axis=0))
+            fg = (fg_parts[0] if G == 1
+                  else jnp.concatenate(fg_parts, axis=0))
+            f, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
+                                dtype, False)
+            return f - logit_tau
+    else:
+        field = field_full
 
     if rebracket:
         d_lw, d_hw = cat(brt, 4), cat(brt, 5)
@@ -1067,13 +1170,14 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "n_iters", "multires_d", "multires_fg", "geometry_dim", "dtype",
-    "tile", "logit_tau", "interpret", "group"))
+    "tile", "logit_tau", "interpret", "group", "frozen_knn"))
 def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
                   w1, dens_ws, *, n_iters: int = 6, k: int = 8,
                   multires_d: int = 8, multires_fg: int = 2,
                   geometry_dim: int = 32, dtype=None, tile: int = 1,
                   logit_tau: float = 0.0, interpret: bool = False,
-                  group: int = 1, d_low_w=None, d_high_w=None):
+                  group: int = 1, d_low_w=None, d_high_w=None,
+                  frozen_knn: bool = False):
     """Fused secant root refinement (see _secant_kernel).
 
     rays_o/d: (R, 3) with consecutive rays grouped into `tile`-ray groups
@@ -1083,7 +1187,9 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
     are bit-identical across group values).
     d_low_w/d_high_w: optional half-step-widened proxy-scan endpoints —
     when given, the density re-bracket runs inside the kernel
-    (see _secant_kernel rebracket). Returns d_pred (R,)."""
+    (see _secant_kernel rebracket).
+    frozen_knn: freeze the per-ray candidate selection at the bracket
+    midpoint (see _secant_kernel frozen). Returns d_pred (R,)."""
     R = rays_o.shape[0]
     B = geo.shape[0]
     T = R // B
@@ -1124,7 +1230,7 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
             _secant_kernel, k=k, n_iters=n_iters, multires_d=multires_d,
             multires_fg=multires_fg, geometry_dim=geometry_dim,
             dtype=dtype, logit_tau=logit_tau, group=G,
-            rebracket=rebracket),
+            rebracket=rebracket, frozen=frozen_knn),
         grid=(B // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

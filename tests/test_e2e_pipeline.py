@@ -136,7 +136,7 @@ def test_neumesh_distillation_and_render(trained_neus, prior_mesh, workdir):
             "N_upsample_iters": 2,
         },
         "training": {
-            "speed_factor": 10.0, "lr": 5e-3, "num_iters": 40,
+            "speed_factor": 10.0, "lr": 5e-3, "num_iters": 64,
             "scheduler": {"type": "warmupcosine", "warmup_steps": 10},
             "loss_weights": {"img": 1.0, "mask": 0.1, "eikonal": 0.1,
                              "distill_density": 1.0, "distill_color": 1.0,
@@ -176,10 +176,13 @@ def test_neumesh_distillation_and_render(trained_neus, prior_mesh, workdir):
     # distilled student on a tiny budget: just demand better than trivial
     assert psnr > 12, f"NeuMesh distillation failed: psnr={psnr:.2f}"
     # mask should concentrate on the object. The background bound is loose:
-    # at this tiny training budget the outcome is chaotically sensitive to
-    # f32 summation order (e.g. split first-layer matmuls), and observed
-    # background mass ranges ~0.25-0.32 across numerically-equivalent
-    # implementations (full-scale training reaches ~35 dB regardless).
+    # at a tiny training budget the outcome is chaotically sensitive to
+    # f32 summation order (e.g. split first-layer matmuls; the ADVICE-r2
+    # switch from double-angle to exact sin/cos embeddings moved 40-iter
+    # background mass from ~0.32 to 0.48 with object PSNR unchanged), so
+    # the budget is 64 iters — enough for the mask term to settle across
+    # numerically-equivalent implementations (full-scale training reaches
+    # ~35 dB regardless).
     acc = np.asarray(extras["mask_volume"])
     gt_mask = np.asarray(sample["object_mask"])
     assert acc[gt_mask].mean() > 0.5

@@ -410,6 +410,84 @@ def test_fused_secant_group_matches_ungrouped():
     np.testing.assert_allclose(roots[4], roots[1], atol=1e-6)
 
 
+def _frozen_knn_roots(max_candidates):
+    """Refined roots from the frozen- and re-selecting secant kernels on
+    the same untrained model/bracket (ops/pallas_kernels.py::
+    _secant_kernel frozen)."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              use_pallas=True)
+    mg = MeshGrid(mesh, distance_method="grid")
+    tau = -0.07  # makes the untrained field straddle on a good fraction
+    roots = {}
+    for frozen in (False, True):
+        m = NeuMesh(mg, secant_frozen_knn=frozen, **kw)
+        params = m.init(jax.random.PRNGKey(0))
+        o, d = rays(32)
+        near, far = near_far_from_sphere(o, d)
+        bound, _, _ = m.bind_rays_tiled(params, o, d, near, far, tile=8,
+                                        max_candidates=max_candidates)
+        d_low = jnp.full((32,), 2.62)
+        d_high = jnp.full((32,), 2.38)
+        d_low_w, d_high_w = d_low + 0.05, d_high - 0.05
+
+        def f(dv):
+            pts = o + dv[:, None] * d
+            return bound.forward_density_only(
+                params, pts[:, None, :])[:, 0] - tau
+
+        f_low, f_high = f(d_low), f(d_high)
+        roots[frozen] = np.asarray(bound.fused_secant(
+            params, o, d, d_low, d_high, f_low, f_high, n_iters=4,
+            logit_tau=tau, d_low_w=d_low_w, d_high_w=d_high_w))
+        assert np.isfinite(roots[frozen]).all()
+    return roots
+
+
+def test_fused_secant_frozen_knn_exact_when_selection_forced():
+    """secant_frozen_knn computes the per-ray top-k selection once at
+    the bracket midpoint and factors every candidate term as a
+    midpoint-centered quadratic in the ray depth
+    (|x_mid+δ·r−p|² = A+2δB+δ², x·n−vn = E+δF). With an 8-candidate
+    tile context the top-8 selection is ALL candidates at every eval
+    point, so freezing is a no-op and any root difference is the
+    factorization itself — pinned to float round-off on the roots the
+    renderer consumes (in-bracket; out-of-bracket secant extrapolations
+    are masked as misses downstream, and on this UNTRAINED
+    near-zero-slope field they amplify even the re-selecting kernel's
+    own f32 noise to ~1e-2)."""
+    roots = _frozen_knn_roots(max_candidates=8)
+    inb = ((roots[False] >= 2.33) & (roots[False] <= 2.67)
+           & (roots[True] >= 2.33) & (roots[True] <= 2.67))
+    assert inb.sum() >= 4, "test setup: enough in-bracket roots"
+    np.testing.assert_allclose(roots[True][inb], roots[False][inb],
+                               atol=1e-5)
+
+
+def test_fused_secant_frozen_knn_bounded_on_wide_bracket():
+    """At a full 128-candidate context the 8-NN set legitimately shifts
+    across this deliberately wide (~4-vertex-spacing) bracket, so the
+    kernel contract on in-bracket roots is agreement within the bracket
+    width, not bit-parity (this untrained near-flat field maximises the
+    divergence; measured 0.15 worst-case). End-to-end quality of the
+    approximation is gated on a TRAINED scene by tools/quality_gate.py
+    (measured -0.045 dB vs the per-eval re-selecting f32 anchor)."""
+    roots = _frozen_knn_roots(max_candidates=128)
+    inb = ((roots[False] >= 2.33) & (roots[False] <= 2.67)
+           & (roots[True] >= 2.33) & (roots[True] <= 2.67))
+    assert inb.sum() >= 4, "test setup: enough in-bracket roots"
+    np.testing.assert_array_less(
+        np.abs(roots[True][inb] - roots[False][inb]), 0.24)
+
+
 def test_scan_knn_k_pallas_matches_xla():
     """scan_knn_k routes a reduced-k kNN into the fused distance kernel
     (scan proxy only); the pallas k=1 interpolation must match the XLA

@@ -133,6 +133,14 @@ def main():
                          "(NeuMesh.scan_knn_k; 0 = full k=8; 1 is the "
                          "bench.py serving default). Applied to serving "
                          "AND the f32 anchor (structural knob)")
+    ap.add_argument("--secant-frozen-knn", action="store_true",
+                    help="freeze the secant's per-ray top-k selection "
+                         "at the bracket midpoint "
+                         "(NeuMesh.secant_frozen_knn; opt-in — gated "
+                         "-0.045 dB but a throughput wash at 3 secant "
+                         "iters). Applied to the SERVING config only — "
+                         "the f32 anchor keeps per-eval re-selection, "
+                         "so the gated delta includes the approximation")
     ap.add_argument("--no-secant-rebracket", action="store_true",
                     help="skip the density re-bracket of the proxy scan "
                          "(NeuMesh.secant_rebracket=False); the secant "
@@ -322,6 +330,7 @@ def main():
     msrv, psrv = make_model(True, "bf16", serving_f32_layers,
                             kp=args.serving_kp)
     msrv.secant_full_precision = bool(args.secant_full_precision)
+    msrv.secant_frozen_knn = bool(args.secant_frozen_knn)
     eval_renders(surface_one(msrv, psrv, steps=args.surface_steps,
                              secant=args.surface_secant), "surface_fast")
     results["surface_steps"] = args.surface_steps
@@ -337,6 +346,8 @@ def main():
         results["surface_tile"] = args.surface_tile
     if args.no_secant_rebracket:
         results["secant_rebracket"] = False
+    if args.secant_frozen_knn:
+        results["secant_frozen_knn"] = True
 
     results["serving_f32_layers"] = list(serving_f32_layers)
     results["bf16_delta_db"] = round(

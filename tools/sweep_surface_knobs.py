@@ -194,6 +194,10 @@ if __name__ == "__main__":
                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
                            "secant": 3, "tile_cell_budget": 32,
                            "scan_candidates": 96},
+        "serving_r6_frozen": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "secant": 3, "tile_cell_budget": 32,
+                              "secant_frozen_knn": True},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
