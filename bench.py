@@ -94,10 +94,13 @@ def main():
     # crossing), 3 secant iters with the density re-bracket folded into
     # the secant kernel (depth pin 4.8e-4). secant_frozen_knn measured
     # a wash at 3 iters (gate -0.045 dB but +-0% throughput) — opt-in
+    # secant_tiles_per_program=4 batches 4 tiles' rows per secant
+    # program with 3D-vectorized (G,T,C) interpolation — row-exact
+    # (grouped == ungrouped, tests/test_surface_render.py), +15%
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
                    secant_full_precision=False, scan_knn_k=1,
-                   tile_cell_budget=32)
+                   tile_cell_budget=32, secant_tiles_per_program=4)
 
     # ---- headline: surface mode at production mesh scale, 65536
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate

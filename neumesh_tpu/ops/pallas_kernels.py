@@ -418,18 +418,31 @@ def _softplus100_grad(x):
 
 def _interp_distance(x0, x1, x2, geo, w1, k: int, want_dh: bool):
     """In-kernel interpolated-distance chain on (Sblk, 1) point columns
-    against an (8, C) context block. Returns (ds, W[, dh cols])."""
-    px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
-    ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
-    pp, vn = geo[6:7, :], geo[7:8, :]
-    C = geo.shape[1]
+    against an (8, C) context block — or, rank-polymorphically, on
+    (G, Sblk, 1) columns against (G, 8, C) blocks: grouped programs that
+    unroll this chain per tile keep every elementwise op at thin
+    (128, C) shapes (latency-bound, 21 Msamp/s); lifting the group axis
+    into the arrays makes each op (G, Sblk, C) — G× the vector work per
+    instruction at the same chain length (60 Msamp/s at 1024 rows,
+    tools/kernel_micro.py secantshape). Same per-element op order in
+    both ranks. Returns (ds, W[, dh cols])."""
+    C = geo.shape[-1]
+    if x0.ndim == 3:
+        px, py, pz = geo[:, 0:1, :], geo[:, 1:2, :], geo[:, 2:3, :]
+        ix, iy, iz = geo[:, 3:4, :], geo[:, 4:5, :], geo[:, 5:6, :]
+        pp, vn = geo[:, 6:7, :], geo[:, 7:8, :]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, C), 2).astype(jnp.float32)
+    else:
+        px, py, pz = geo[0:1, :], geo[1:2, :], geo[2:3, :]
+        ix, iy, iz = geo[3:4, :], geo[4:5, :], geo[5:6, :]
+        pp, vn = geo[6:7, :], geo[7:8, :]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, C), 1).astype(jnp.float32)
 
     xv = x0 * px + x1 * py + x2 * pz
     xx = x0 * x0 + x1 * x1 + x2 * x2
     d2 = jnp.maximum(xx + pp - 2.0 * xv, 0.0)
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).astype(
-        jnp.float32)
     d2_tb = d2 * (1.0 + iota * 2e-7)
 
     if k == 1 and not want_dh:
@@ -566,32 +579,60 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     def cat0(parts):
         return parts[0] if G == 1 else jnp.concatenate(parts, axis=0)
 
-    ds_p, W_p, dh_p, feats_p = [], [], [], []
-    for g in range(G):
-        x = xyz_ref[g].T                             # (Sblk, 8)
-        x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    if G > 1:
+        # 3D-vectorized grouped interpolation (see _interp_distance):
+        # every elementwise op runs at (G, Sblk, C) instead of a per-g
+        # chain of thin (Sblk, C) ops; only the per-tile feature
+        # matmuls stay unrolled (Mosaic dots are 2-D). Row-exact vs the
+        # G == 1 path.
+        Sb = xyz_ref.shape[2]
+        x0 = jnp.swapaxes(xyz_ref[:, 0:1, :], 1, 2)   # (G, Sblk, 1)
+        x1 = jnp.swapaxes(xyz_ref[:, 1:2, :], 1, 2)
+        x2 = jnp.swapaxes(xyz_ref[:, 2:3, :], 1, 2)
         if want_nabla:
-            ds_g, W_g, dh_g = _interp_distance(
-                x0, x1, x2, geo_ref[g], w1, k, True)
-            dh_p.append(dh_g)
+            ds3, W3, dh3 = _interp_distance(
+                x0, x1, x2, geo_ref[...], w1, k, True)
+            dhx = dh3[0].reshape(G * Sb, 1)
+            dhy = dh3[1].reshape(G * Sb, 1)
+            dhz = dh3[2].reshape(G * Sb, 1)
         else:
-            ds_g, W_g = _interp_distance(x0, x1, x2, geo_ref[g], w1, k,
-                                         False)
-        # kNN feature blend: one MXU matmul against the context features,
-        # contracting the trailing C dim of both operands (feat is stored
-        # transposed (F, C) so its tiles carry no lane padding)
-        feats_p.append(jax.lax.dot_general(
-            W_g, feat_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision="highest"))                    # (Sblk, F)
-        ds_p.append(ds_g)
-        W_p.append(W_g)
-    ds = cat0(ds_p)
-    feats = cat0(feats_p)
-    if want_nabla:
-        dhx = cat0([p[0] for p in dh_p])
-        dhy = cat0([p[1] for p in dh_p])
-        dhz = cat0([p[2] for p in dh_p])
+            ds3, W3 = _interp_distance(x0, x1, x2, geo_ref[...], w1, k,
+                                       False)
+        ds = ds3.reshape(G * Sb, 1)
+        feats = jnp.concatenate([
+            jax.lax.dot_general(
+                W3[g], feat_ref[g], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision="highest")
+            for g in range(G)], axis=0)              # (G*Sblk, F)
+    else:
+        ds_p, W_p, dh_p, feats_p = [], [], [], []
+        for g in range(G):
+            x = xyz_ref[g].T                         # (Sblk, 8)
+            x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+            if want_nabla:
+                ds_g, W_g, dh_g = _interp_distance(
+                    x0, x1, x2, geo_ref[g], w1, k, True)
+                dh_p.append(dh_g)
+            else:
+                ds_g, W_g = _interp_distance(x0, x1, x2, geo_ref[g], w1,
+                                             k, False)
+            # kNN feature blend: one MXU matmul against the context
+            # features, contracting the trailing C dim of both operands
+            # (feat is stored transposed (F, C) so its tiles carry no
+            # lane padding)
+            feats_p.append(jax.lax.dot_general(
+                W_g, feat_ref[g], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision="highest"))                # (Sblk, F)
+            ds_p.append(ds_g)
+            W_p.append(W_g)
+        ds = cat0(ds_p)
+        feats = cat0(feats_p)
+        if want_nabla:
+            dhx = cat0([p[0] for p in dh_p])
+            dhy = cat0([p[1] for p in dh_p])
+            dhz = cat0([p[2] for p in dh_p])
     fg = feats[:, :geometry_dim]
     ft = feats[:, geometry_dim:] if want == "full" else None
 
@@ -1050,6 +1091,41 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
         f, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
                             dtype, False)
         return f - logit_tau
+
+    if G > 1 and not frozen:
+        # 3D-vectorized grouped interpolation: the per-g loop above
+        # keeps every elementwise op at (T=128, C) — a latency-bound
+        # serial chain of thin ops that measured 21 Msamp/s vs
+        # 60 Msamp/s for 1024-row blocks (tools/kernel_micro.py
+        # secantshape). Lifting the group axis into the arrays makes
+        # each op (G, T, C) — G× the vector work per instruction at the
+        # same chain length. Math and per-element op order mirror
+        # _interp_distance exactly (grouped == ungrouped to 1e-6,
+        # tests/test_surface_render.py); only the tiny per-tile feature
+        # matmuls stay unrolled (Mosaic dots are 2-D).
+        o0_3 = jnp.swapaxes(od_ref[:, 0:1, :], 1, 2)   # (G, T, 1)
+        o1_3 = jnp.swapaxes(od_ref[:, 1:2, :], 1, 2)
+        o2_3 = jnp.swapaxes(od_ref[:, 2:3, :], 1, 2)
+        r0_3 = jnp.swapaxes(od_ref[:, 3:4, :], 1, 2)
+        r1_3 = jnp.swapaxes(od_ref[:, 4:5, :], 1, 2)
+        r2_3 = jnp.swapaxes(od_ref[:, 5:6, :], 1, 2)
+        def field_full(d_eval):  # noqa: F811
+            de3 = d_eval.reshape(G, T, 1)
+            x0 = o0_3 + de3 * r0_3
+            x1 = o1_3 + de3 * r1_3
+            x2 = o2_3 + de3 * r2_3
+            ds3, W = _interp_distance(x0, x1, x2, geo_ref[...], w1, k,
+                                      False)
+            ds = ds3.reshape(G * T, 1)
+            fg = jnp.concatenate([
+                jax.lax.dot_general(
+                    W[g], feat_ref[g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision="highest")[:, :geometry_dim]
+                for g in range(G)], axis=0)
+            f, _ = _density_mlp(ds, fg, dens_ws, multires_d,
+                                multires_fg, dtype, False)
+            return f - logit_tau
 
     if frozen:
         # one-time per-tile top-k selection at the bracket midpoint

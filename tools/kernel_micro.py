@@ -87,3 +87,12 @@ if __name__ == "__main__":
         run("density sblk=1024", sblk=1024)
         run("density sblk=256", sblk=256)
         run("density f32", dtype=None)
+    if which == "secantshape":
+        # the secant's per-eval shape: 65536 samples as 512 thin
+        # (T=128) per-tile programs vs the same samples in fat blocks —
+        # bounds the win from row-batching the secant kernel
+        run("density 512x128 thin", B=512, S=128, sblk=1024)
+        run("density 64x1024 fat", B=64, S=1024, sblk=1024)
+        run("density 128x512 mid", B=128, S=512, sblk=1024)
+        run("density 512x128 thin f32i", B=512, S=128, sblk=1024,
+            dtype=None)

@@ -257,6 +257,10 @@ def main():
                 cfg.model["tile_cell_budget"] = args.tile_cell_budget
             if args.no_secant_rebracket:
                 cfg.model["secant_rebracket"] = False
+            # bench.py serving default; row-exact grouping (grouped ==
+            # ungrouped), carried here so the gate config IS the bench
+            # config
+            cfg.model["secant_tiles_per_program"] = 4
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:

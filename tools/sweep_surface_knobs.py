@@ -194,10 +194,46 @@ if __name__ == "__main__":
                            "tile_kp_per_probe": 8, "scan_knn_k": 1,
                            "secant": 3, "tile_cell_budget": 32,
                            "scan_candidates": 96},
+        "serving_r7_fullg4": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "secant": 3, "tile_cell_budget": 32,
+                              "secant_tiles_per_program": 4,
+                              "full_tiles_per_program": 4},
+        "serving_r7_fullg8": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "secant": 3, "tile_cell_budget": 32,
+                              "secant_tiles_per_program": 4,
+                              "full_tiles_per_program": 8},
+        "serving_r7": {**SERVING_R3, "steps": 16, "tile_kp_per_probe": 8,
+                       "scan_knn_k": 1, "secant": 3,
+                       "tile_cell_budget": 32,
+                       "secant_tiles_per_program": 4},
         "serving_r6_frozen": {**SERVING_R3, "steps": 16,
                               "tile_kp_per_probe": 8, "scan_knn_k": 1,
                               "secant": 3, "tile_cell_budget": 32,
                               "secant_frozen_knn": True},
+        "serving_r6_secg2": {**SERVING_R3, "steps": 16,
+                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                             "secant": 3, "tile_cell_budget": 32,
+                             "secant_tiles_per_program": 2},
+        "serving_r6_secg4": {**SERVING_R3, "steps": 16,
+                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                             "secant": 3, "tile_cell_budget": 32,
+                             "secant_tiles_per_program": 4},
+        "serving_r6_secg8": {**SERVING_R3, "steps": 16,
+                             "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                             "secant": 3, "tile_cell_budget": 32,
+                             "secant_tiles_per_program": 8},
+        "serving_r6_secg16": {**SERVING_R3, "steps": 16,
+                              "tile_kp_per_probe": 8, "scan_knn_k": 1,
+                              "secant": 3, "tile_cell_budget": 32,
+                              "secant_tiles_per_program": 16},
+        "serving_r6_secg8_frozen": {**SERVING_R3, "steps": 16,
+                                    "tile_kp_per_probe": 8,
+                                    "scan_knn_k": 1, "secant": 3,
+                                    "tile_cell_budget": 32,
+                                    "secant_tiles_per_program": 8,
+                                    "secant_frozen_knn": True},
     }
     for name in args.variants.split(","):
         kw = VARIANTS[name]
