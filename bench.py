@@ -121,7 +121,10 @@ def main():
     # f32 layers cost the volume path ~25% for a quality mode it does not
     # gate on; tile=64 contexts over 8x8 pixel blocks, scored by
     # tools/quality_gate.py volume_bf16)
-    model7v, params7v = build(use_pallas=True, sblk=512, subdivisions=7,
+    # sblk=1024: the density kernel runs 62 vs 54 Msamp/s at 512-sample
+    # blocks (tools/kernel_micro.py); block partitioning is bit-exact, so
+    # the volume_bf16 gate verdict carries over
+    model7v, params7v = build(use_pallas=True, sblk=1024, subdivisions=7,
                               tile_kp_per_probe=12, tile_cell_budget=32)
     n_vol = 16384
     o_v, d_v = rays(n_vol)

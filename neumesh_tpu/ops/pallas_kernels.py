@@ -394,6 +394,12 @@ def _emb_cols(x, n_freq: int, tangent: bool = False):
     import math
 
     D = x.shape[-1]
+    if n_freq <= 0:
+        # multires 0 disables the encoding (reference models/base.py
+        # get_embedder identity mode): zero-width columns concatenate
+        # away at every call site
+        empty = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+        return (empty, empty) if tangent else empty
     xt = jnp.concatenate([x] * (2 * n_freq), axis=-1)    # (S, D*2F)
     j = jax.lax.broadcasted_iota(jnp.int32, (1, D * 2 * n_freq), 1)
     blk = j // D

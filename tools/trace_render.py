@@ -19,9 +19,11 @@ subdiv = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 kp = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 bh = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 bw = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+topk = int(sys.argv[9]) if len(sys.argv) > 9 else 0
+cb = int(sys.argv[10]) if len(sys.argv) > 10 else 0
 
 model, params = build(bool(use_pallas), sblk, subdivisions=subdiv,
-                      tile_kp_per_probe=kp)
+                      tile_kp_per_probe=kp, tile_cell_budget=cb)
 o, d = rays(n)
 if bh:
     from neumesh_tpu.ops.rays import block_order_indices
@@ -34,7 +36,8 @@ def render(params, o, d):
     return volume_render_rays(model, params, o, d, jax.random.PRNGKey(0),
         detailed_output=False, perturb=False, bounded_near_far=True,
         N_samples=64, N_importance=64, N_upsample_iters=4,
-        reuse_upsample_sdf=True, ray_tile=tile)['rgb']
+        reuse_upsample_sdf=True, ray_tile=tile,
+        color_topk=topk)['rgb']
 
 render(params, o, d).block_until_ready()
 t0=time.perf_counter()

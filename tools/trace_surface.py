@@ -28,12 +28,14 @@ sblk = int(sys.argv[10]) if len(sys.argv) > 10 else 512
 scan_k = int(sys.argv[11]) if len(sys.argv) > 11 else 0
 cb = int(sys.argv[12]) if len(sys.argv) > 12 else 0
 frozen = int(sys.argv[13]) if len(sys.argv) > 13 else 0
+stpp = int(sys.argv[14]) if len(sys.argv) > 14 else 1
 
 model, params = build(True, sblk, subdivisions=subdiv,
                       scan_candidates=scan_c, tile_kp_per_probe=kp,
                       f32_layers=('d0', 'dh', 'c0', 'ch'),
                       secant_full_precision=False, scan_knn_k=scan_k,
-                      tile_cell_budget=cb, secant_frozen_knn=bool(frozen))
+                      tile_cell_budget=cb, secant_frozen_knn=bool(frozen),
+                      secant_tiles_per_program=stpp)
 o, d = rays(n)
 side = int(n ** 0.5)
 perm, _ = block_order_indices(side, side, 8, 16)
