@@ -128,7 +128,13 @@ def get_model(args, key=None):
         params["ln_s"] = teacher_params["ln_s"]
         model.speed_factor = teacher_model.speed_factor
 
-    trainer = Trainer(model, loss_weights, teacher_model=teacher_model)
+    # distill_density_clip: None reproduces the reference's SHIPPED plain-L1
+    # distill objective (models/trainer.py:214-216); setting a float in the
+    # config opts into the masked DensityLoss (:13-23, never called there)
+    trainer = Trainer(
+        model, loss_weights, teacher_model=teacher_model,
+        distill_density_clip=args.training.setdefault(
+            "distill_density_clip", None))
     trainer.teacher_params = teacher_params
     renderer = SingleRenderer(model)
 

@@ -27,34 +27,49 @@ def psnr(image_pred, image_gt, valid_mask=None, reduction="mean"):
     return -10.0 * jnp.log10(mse(image_pred, image_gt, valid_mask, reduction))
 
 
-def _avg_pool_same(x, win: int):
-    """Mean filter with window `win` over the last two dims, 'valid' padding.
-    x: (C, H, W)."""
-    c, h, w = x.shape
-    # separable box filter via cumsum
-    pad = jnp.zeros((c, 1, w), dtype=x.dtype)
-    cs = jnp.cumsum(jnp.concatenate([pad, x], axis=1), axis=1)
-    x = (cs[:, win:, :] - cs[:, :-win, :]) / win
-    h2 = x.shape[1]
-    pad = jnp.zeros((c, h2, 1), dtype=x.dtype)
-    cs = jnp.cumsum(jnp.concatenate([pad, x], axis=2), axis=2)
-    x = (cs[:, :, win:] - cs[:, :, :-win]) / win
+def gaussian_kernel1d(win: int, sigma: float):
+    """Normalized 1D gaussian taps, kornia's window
+    (kornia.filters.get_gaussian_kernel1d; sigma=1.5 inside
+    kornia.losses.ssim, the reference's metric backend
+    utils/metric_util.py:19-24)."""
+    x = jnp.arange(win, dtype=jnp.float32) - (win - 1) / 2.0
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _window_filter_valid(x, kernel):
+    """Separable filter with 1D taps `kernel` over the last two dims,
+    'valid' padding. x: (C, H, W)."""
+    win = kernel.shape[0]
+    h_out = x.shape[1] - win + 1
+    x = sum(kernel[i] * x[:, i:i + h_out, :] for i in range(win))
+    w_out = x.shape[2] - win + 1
+    x = sum(kernel[i] * x[:, :, i:i + w_out] for i in range(win))
     return x
 
 
 def ssim(image_pred, image_gt, win: int = 3, max_val: float = 1.0,
-         reduction: str = "mean"):
-    """Standard SSIM with a box window (kornia uses gaussian; box window with
-    the same small support is within noise for win=3). Inputs (C, H, W) or
-    (H, W, C)-like: expects channel-first (C, H, W) in [0, max_val]."""
+         reduction: str = "mean", sigma: float = 1.5):
+    """Standard SSIM with a gaussian window (sigma=1.5, kornia's choice —
+    the reference's backend, utils/metric_util.py:19-24), 'valid' padding.
+    Pass ``sigma=None`` for a box window. Expects channel-first (C, H, W)
+    in [0, max_val]."""
     C1 = (0.01 * max_val) ** 2
     C2 = (0.03 * max_val) ** 2
 
-    mu_x = _avg_pool_same(image_pred, win)
-    mu_y = _avg_pool_same(image_gt, win)
-    mu_xx = _avg_pool_same(image_pred * image_pred, win)
-    mu_yy = _avg_pool_same(image_gt * image_gt, win)
-    mu_xy = _avg_pool_same(image_pred * image_gt, win)
+    if sigma is None:
+        kernel = jnp.full((win,), 1.0 / win, jnp.float32)
+    else:
+        kernel = gaussian_kernel1d(win, sigma)
+
+    def _filt(x):
+        return _window_filter_valid(x, kernel)
+
+    mu_x = _filt(image_pred)
+    mu_y = _filt(image_gt)
+    mu_xx = _filt(image_pred * image_pred)
+    mu_yy = _filt(image_gt * image_gt)
+    mu_xy = _filt(image_pred * image_gt)
 
     sigma_x = mu_xx - mu_x**2
     sigma_y = mu_yy - mu_y**2

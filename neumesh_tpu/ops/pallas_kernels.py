@@ -381,6 +381,13 @@ def _emb_parts_with_tangent(x, n_freq: int):
     return parts, dparts
 
 
+def _cat(parts, axis=-1):
+    """jnp.concatenate skipping None operands (disabled positional
+    encodings, see _emb_cols n_freq<=0)."""
+    parts = [p for p in parts if p is not None]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
 def _emb_cols(x, n_freq: int, tangent: bool = False):
     """x (S, D) -> (S, D*2*n_freq) positional-encoding columns
     [sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...] (reference
@@ -396,10 +403,10 @@ def _emb_cols(x, n_freq: int, tangent: bool = False):
     D = x.shape[-1]
     if n_freq <= 0:
         # multires 0 disables the encoding (reference models/base.py
-        # get_embedder identity mode): zero-width columns concatenate
-        # away at every call site
-        empty = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
-        return (empty, empty) if tangent else empty
+        # get_embedder identity mode). Mosaic rejects 0-sized vector
+        # shapes, so the disabled case contributes no operand at all:
+        # call sites concatenate via _cat, which skips None (ADVICE r3)
+        return (None, None) if tangent else None
     xt = jnp.concatenate([x] * (2 * n_freq), axis=-1)    # (S, D*2F)
     j = jax.lax.broadcasted_iota(jnp.int32, (1, D * 2 * n_freq), 1)
     blk = j // D
@@ -520,13 +527,11 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
     w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
     if want_tangent:
         dcols, ddcols = _emb_cols(ds, multires_d, tangent=True)
-        t = dot(jnp.concatenate([jnp.ones_like(ds), ddcols], axis=-1),
-                w0d)
+        t = dot(_cat([jnp.ones_like(ds), ddcols]), w0d)
     else:
         dcols = _emb_cols(ds, multires_d)
-    d_emb = jnp.concatenate([ds, dcols], axis=-1)        # (Sblk, 17)
-    emb0 = jnp.concatenate(
-        [ds, dcols, fg, _emb_cols(fg, multires_fg)], axis=-1)
+    d_emb = _cat([ds, dcols])                            # (Sblk, 17)
+    emb0 = _cat([ds, dcols, fg, _emb_cols(fg, multires_fg)])
     w0 = jnp.concatenate([w0d, w0f], axis=0)
     pre = dot(emb0, w0) + b0[0]
     h = _softplus100(pre)
@@ -688,9 +693,9 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
     vdir = cat0([dirs_ref[g].T[:, 0:3] for g in range(G)])  # (G*Sblk, 3)
     cw0, cb0 = col_ws[0], col_ws[1]
-    col_in = jnp.concatenate(
+    col_in = _cat(
         [nx, ny, nz, d_emb, vdir, _emb_cols(vdir, multires_view),
-         ft, _emb_cols(ft, multires_ft)], axis=-1)       # (Sblk, 207)
+         ft, _emb_cols(ft, multires_ft)])                # (Sblk, 207)
     pre = dot2(col_in, cw0[...]) + cb0[...][0]
     hcol = jnp.maximum(pre, 0.0)
     wi = 2

