@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+BATCH_AXIS = "batch"
 
 
 def get_device_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -26,6 +27,44 @@ def get_device_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def get_global_mesh() -> Mesh:
+    """2-D ('batch', 'data') mesh for (multi-host) data-parallel training:
+    axis 0 = one row per PROCESS (the reference's DDP rank axis,
+    train.py:244-252 — images shard across it), axis 1 = the process's
+    local devices (the nn.DataParallel ray axis, models/trainer.py:39-42).
+
+    Device order is (process_index, id)-sorted so every process constructs
+    the identical mesh and row p holds exactly process p's local devices —
+    the layout `jax.make_array_from_process_local_data` needs for a
+    batch-axis-sharded global array (see make_global_batch). Single
+    process: shape (1, n_local_devices)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_proc = jax.process_count()
+    n_local = len(devs) // n_proc
+    arr = np.asarray(devs).reshape(n_proc, n_local)
+    return Mesh(arr, (BATCH_AXIS, DATA_AXIS))
+
+
+def make_global_batch(mesh: Mesh, tree):
+    """Assemble per-process local batches into ONE global jax.Array per
+    leaf, sharded along axis 0 over the 'batch' (process) mesh axis and
+    replicated over the per-process 'data' axis.
+
+    This is the multi-host-sound replacement for feeding process-local
+    `jnp.asarray` inputs into a global-mesh jitted step (undefined under
+    real multi-host JAX): the global batch axis is process_count x
+    local_batch, each process contributing its own images — the
+    reference's DistributedSampler semantics (train.py:244-252). On a
+    single process this is a plain device_put with the same sharding."""
+    sharding = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):
@@ -37,9 +76,15 @@ def replicate(mesh: Mesh, tree):
 def ray_sharder(mesh: Optional[Mesh], batched: bool = True):
     """Returns a constraint fn applied to per-ray arrays inside the jitted
     step. Ray axis is axis 1 for batched (B, N_rays, ...) arrays, axis 0
-    otherwise. None mesh -> identity (single device)."""
+    otherwise. On a 2-D ('batch', 'data') global mesh (get_global_mesh)
+    the batch axis is additionally pinned to the process axis, so the
+    per-image ray pipeline runs on the owning process's devices and GSPMD
+    inserts cross-process psums only at the loss reductions (the
+    reference's DDP grad all-reduce, train.py:326-332). None mesh ->
+    identity (single device)."""
     if mesh is None or np.prod(mesh.devices.shape) == 1:
         return lambda x: x
+    has_batch_axis = BATCH_AXIS in mesh.axis_names
 
     def constrain(x):
         ray_axis = 1 if batched else 0
@@ -47,6 +92,8 @@ def ray_sharder(mesh: Optional[Mesh], batched: bool = True):
             return x
         spec = [None] * x.ndim
         spec[ray_axis] = DATA_AXIS
+        if has_batch_axis and batched:
+            spec[0] = BATCH_AXIS
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P(*spec)))
 

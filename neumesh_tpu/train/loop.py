@@ -18,7 +18,8 @@ import numpy as np
 from ..config import backup_sources, save_yaml
 from ..dataio import get_data
 from ..models import build_framework
-from ..parallel import dist, get_device_mesh, ray_sharder
+from ..parallel import (BATCH_AXIS, dist, get_global_mesh, make_global_batch,
+                        ray_sharder)
 from ..utils.checkpoints import CheckpointIO
 from ..utils.logger import Logger
 from ..utils.print_fn import log
@@ -157,8 +158,11 @@ def main_function(args):
     # ---- SIREN pretrain hook (reference train.py:316-324)
     params = maybe_pretrain_siren(args, model, params, logger)
 
-    # ---- optimizer
-    opt = get_optimizer(args, params)
+    # ---- optimizer; under multi-process DP each update advances the
+    # global iteration by world_size, and the schedule is evaluated at the
+    # global it (reference train.py:196,442)
+    world = dist.process_count()
+    opt = get_optimizer(args, params, step_scale=world)
     opt_state = opt.init(params)
 
     # ---- checkpoints / resume (reference train.py:281-314)
@@ -185,22 +189,47 @@ def main_function(args):
             except Exception as e:
                 log.warning(f"optimizer state not restored: {e}")
 
-    # ---- device mesh (ray-axis sharding over all chips)
+    # ---- device mesh: 2-D ('batch' = processes, 'data' = local devices).
+    # Multi-process training REQUIRES it (global-batch assembly below);
+    # single-process multi-device uses the same mesh with a trivial batch
+    # axis (the reference's nn.DataParallel ray scatter).
     use_mesh = args.training.get("use_device_mesh", True)
-    mesh = get_device_mesh() if (use_mesh and jax.device_count() > 1) \
-        else None
+    multihost = world > 1
+    mesh = get_global_mesh() if (
+        multihost or (use_mesh and jax.device_count() > 1)) else None
     train_step = build_train_step(
         trainer, opt, render_kwargs_train, args.data.N_rays, H, W, mesh=mesh)
     mg = getattr(model, "mesh_grid", None)
     mesh_bufs = mg.device_buffers() if mg is not None else None
+    if multihost and mesh_bufs is not None:
+        # mesh tables must be GLOBAL (replicated) arrays too: every leaf
+        # of a global-mesh jitted step's inputs needs a global sharding
+        from ..parallel import replicate
+        mesh_bufs = replicate(mesh, mesh_bufs)
+    if multihost:
+        from ..parallel import replicate
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        if teacher_params is not None:
+            teacher_params = replicate(mesh, teacher_params)
 
     num_iters = args.training.num_iters
+    # intervals are divided by world_size (reference train.py:210-213);
+    # `it` advances by world_size per update (reference train.py:196,442)
     i_val = args.training.get("i_val", 500)
     i_backup = args.training.get("i_backup", 50000)
+    if multihost:
+        i_val = i_val // world if i_val > 0 else i_val
+        i_backup = i_backup // world if i_backup > 0 else i_backup
     i_save_sec = args.training.get("i_save", 900)
+    i_log = args.training.get("i_log", 20)
     batch_size = args.data.get("batch_size", 1) or 1
 
-    data_rng = np.random.default_rng(seed + dist.process_index())
+    # the SAME host rng on every process: the epoch image order is shared,
+    # each process takes its rank's stride of every global batch (the
+    # reference's DistributedSampler, train.py:244-252) — and rng draws
+    # stay aligned across processes (val view choice)
+    data_rng = np.random.default_rng(seed)
     t_last_save = time.time()
     t0 = time.time()
     t_last_log, it_last_log = time.time(), 0
@@ -212,40 +241,71 @@ def main_function(args):
                      global_step=it, epoch_idx=0)
         logger.flush()
 
+    if multihost and len(train_dataset) < batch_size * world:
+        raise ValueError(
+            f"dataset has {len(train_dataset)} images < batch_size x "
+            f"world_size = {batch_size}x{world}; shrink batch_size or "
+            f"world size")
+    rank = dist.process_index()
+
+    def due(interval, it_before, it_after):
+        """Interval crossing check — robust when `it` advances by
+        world_size (exact-multiple checks can skip)."""
+        return interval > 0 and (
+            it_before // interval != it_after // interval)
+
     try:
         while it < num_iters:
-            for batch in train_dataset.epoch_batches(batch_size, data_rng):
+            for batch in train_dataset.epoch_batches(
+                    batch_size * world, data_rng):
                 if it >= num_iters:
                     break
                 _, model_input, ground_truth = batch
-                model_input = {k: jnp.asarray(v)
-                               for k, v in model_input.items()}
-                ground_truth = {k: jnp.asarray(v)
-                                for k, v in ground_truth.items()}
+                if multihost:
+                    # this rank's stride of the shared global image order
+                    sl = slice(rank * batch_size, (rank + 1) * batch_size)
+                    model_input = {k: v[sl] for k, v in model_input.items()}
+                    ground_truth = {k: v[sl]
+                                    for k, v in ground_truth.items()}
+                    # process-local slices -> ONE global array per leaf,
+                    # batch axis sharded over the process mesh axis
+                    model_input = make_global_batch(mesh, model_input)
+                    ground_truth = make_global_batch(mesh, ground_truth)
+                else:
+                    model_input = {k: jnp.asarray(v)
+                                   for k, v in model_input.items()}
+                    ground_truth = {k: jnp.asarray(v)
+                                    for k, v in ground_truth.items()}
 
-                if i_val > 0 and it % i_val == 0:
+                if due(i_val, it - world, it):
+                    # rng/key draws happen on EVERY process (streams must
+                    # stay aligned); the render itself is master-only
                     key, k_val = jax.random.split(key)
-                    psnr = validate(
-                        model, params, renderer, val_dataset,
-                        view_idx=int(data_rng.integers(len(val_dataset))),
-                        key=k_val, render_kwargs_test=render_kwargs_test,
-                        logger=logger, it=it,
-                        calc_normal=render_kwargs_train.get(
-                            "calc_normal", False))
-                    log.info(f"[val] it {it}: psnr {psnr:.2f}")
+                    view_idx = int(data_rng.integers(len(val_dataset)))
+                    if dist.is_master():
+                        psnr = validate(
+                            model, params, renderer, val_dataset,
+                            view_idx=view_idx,
+                            key=k_val,
+                            render_kwargs_test=render_kwargs_test,
+                            logger=logger, it=it,
+                            calc_normal=render_kwargs_train.get(
+                                "calc_normal", False))
+                        log.info(f"[val] it {it}: psnr {psnr:.2f}")
 
                 key, k_step = jax.random.split(key)
                 params, opt_state, total, scalars = train_step(
                     params, opt_state, model_input, ground_truth, k_step,
                     teacher_params, mesh_bufs=mesh_bufs)
-                it += 1
+                it_prev, it = it, it + world
 
-                if it % args.training.get("i_log", 20) == 0:
+                if due(i_log, it_prev, it):
                     total_f = float(total)  # device sync
                     now = time.time()
                     dt_it = (now - t_last_log) / max(it - it_last_log, 1)
                     t_last_log, it_last_log = now, it
-                    rays_s = args.data.N_rays / max(dt_it, 1e-9)
+                    rays_s = (args.data.N_rays * batch_size
+                              / max(dt_it, 1e-9))
                     log.info(
                         f"it {it}/{num_iters} loss {total_f:.4f} psnr "
                         f"{float(scalars['psnr']):.2f} "
@@ -260,7 +320,7 @@ def main_function(args):
                 if time.time() - t_last_save > i_save_sec:
                     save("latest.ckpt")
                     t_last_save = time.time()
-                if i_backup > 0 and it % i_backup == 0:
+                if due(i_backup, it_prev, it):
                     save(f"{it:08d}.ckpt")
     except KeyboardInterrupt:
         log.info("=> KeyboardInterrupt: saving latest and exiting")

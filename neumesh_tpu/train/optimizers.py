@@ -82,10 +82,17 @@ def _lr_tree(params, lr_cfg):
     return out
 
 
-def get_optimizer(args, params) -> optax.GradientTransformation:
+def get_optimizer(args, params,
+                  step_scale: int = 1) -> optax.GradientTransformation:
     """Adam with per-group lr x schedule factor. Matches torch.optim.Adam
     defaults (betas=(0.9, 0.999), eps=1e-8) as used in reference
-    models/base.py:580,612."""
+    models/base.py:580,612.
+
+    step_scale: multiplier mapping the optimizer's internal update count
+    to the GLOBAL iteration the schedule is evaluated at — world_size
+    under multi-process data parallelism, where each update advances the
+    global counter by world_size (the reference steps its scheduler on
+    the global it, train.py:196,442)."""
     lr_cfg = args.training.lr
     factor_fn = get_schedule_factor(args)
     lr_tree = _lr_tree(params, lr_cfg)
@@ -95,7 +102,7 @@ def get_optimizer(args, params) -> optax.GradientTransformation:
     def scale_update(updates, state, params=None):
         del params
         step = state
-        f = factor_fn(step)
+        f = factor_fn(step * step_scale)
         updates = jax.tree.map(
             lambda u, lr: -u * lr * f, updates, lr_tree)
         return updates, step + 1

@@ -108,3 +108,133 @@ print(f"RANK{jax.process_index()} OK total={total}")
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-2000:]}"
         assert f"RANK{rank} OK total=3.0" in out, out[-2000:]
+
+
+def test_live_two_process_train_step_matches_concatenated_batch(tmp_path):
+    """VERDICT r3 #2 done-criterion: one full NeuMesh training update
+    across 2 live processes (global-batch assembly via
+    make_array_from_process_local_data, grads psum'd by GSPMD) must
+    produce the SAME parameters as a single-process update on the
+    concatenated 2-image batch (the reference's DDP semantics,
+    train.py:244-252,326-332). Both runs go through the real
+    main_function loop."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # ---- shared scene + prior mesh, prepared once
+    from neumesh_tpu.dataio.synthetic import generate_sphere_scene, \
+        icosphere_mesh
+    scene = tmp_path / "scene"
+    generate_sphere_scene(str(scene), n_views=4, H=20, W=20)
+    from neumesh_tpu.mesh.triangle_mesh import save_ply
+    mesh = icosphere_mesh(radius=0.5, subdivisions=2)
+    mesh_path = tmp_path / "prior.ply"
+    save_ply(mesh, str(mesh_path))
+
+    worker = r"""
+import os, sys, json
+sys.path.insert(0, os.environ["NEUMESH_REPO"])
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from neumesh_tpu.parallel import dist
+dist.init_env()
+from neumesh_tpu.config import ConfigDict
+from neumesh_tpu.train.loop import main_function
+
+world = jax.process_count()
+batch_size = int(os.environ["NM_BATCH"])
+args = ConfigDict({
+    "expname": "nm_dp", "device_ids": [0],
+    "data": {"type": "DTU", "data_dir": os.environ["NM_SCENE"],
+             "downscale": 1, "N_rays": 16, "batch_size": batch_size,
+             "val_downscale": 4.0, "val_rayschunk": 64,
+             "obj_bounding_radius": 1.0},
+    "model": {"framework": "NeuMesh",
+              "prior_mesh": os.environ["NM_MESH"],
+              "distance_method": "grid",
+              "D_density": 2, "D_color": 2, "W": 16,
+              "geometry_dim": 4, "color_dim": 4,
+              "multires_d": 2, "multires_fg": 1, "multires_ft": 1,
+              "multires_view": 1, "bounded_near_far": False,
+              "enable_nablas_input": True,
+              "learn_indicator_weight": True,
+              "N_upsample_iters": 1, "N_samples": 12,
+              "use_pallas": False},
+    "training": {"speed_factor": 10.0, "lr": 1e-2,
+                 "num_iters": world,  # exactly ONE optimizer update
+                 "scheduler": {"type": "warmupcosine", "warmup_steps": 5},
+                 "loss_weights": {"img": 1.0, "mask": 0.1, "eikonal": 0.1,
+                                  "distill_density": 0.0,
+                                  "distill_color": 0.0,
+                                  "indicator_reg": 0.01},
+                 "log_root_dir": os.environ["NM_LOGS"],
+                 "i_val": -1, "i_backup": -1, "i_save": 10000,
+                 "i_log": 1, "monitoring": "none",
+                 "use_device_mesh": world > 1},
+})
+params = main_function(args)
+if dist.is_master():
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(os.environ["NM_OUT"],
+             **{f"p{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    print("TRAIN_OK", len(leaves))
+"""
+
+    def run(n_procs, batch_size, out, logs, port):
+        procs = []
+        for rank in range(n_procs):
+            env = {**os.environ,
+                   "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu",
+                   "NEUMESH_REPO": repo, "NM_SCENE": str(scene),
+                   "NM_MESH": str(mesh_path), "NM_OUT": str(out),
+                   "NM_LOGS": str(logs), "NM_BATCH": str(batch_size)}
+            env.pop("XLA_FLAGS", None)
+            if n_procs > 1:
+                env.update({"SLURM_PROCID": str(rank),
+                            "SLURM_NTASKS": str(n_procs),
+                            "SLURM_NODELIST": "localhost",
+                            "MASTER_PORT": str(port)})
+            else:
+                for k in ("SLURM_PROCID", "SLURM_NTASKS",
+                          "SLURM_NODELIST", "MASTER_PORT"):
+                    env.pop(k, None)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", worker], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        outs = []
+        try:
+            for p in procs:
+                o, _ = p.communicate(timeout=420)
+                outs.append(o)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail("train-step worker timed out:\n" + "\n".join(outs))
+        for rank, (p, o) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{o[-3000:]}"
+        assert "TRAIN_OK" in outs[0], outs[0][-2000:]
+
+    out_dp = tmp_path / "params_dp.npz"
+    out_single = tmp_path / "params_single.npz"
+    # 2 processes x batch_size 1 (one update: it += 2, num_iters=2)
+    run(2, 1, out_dp, tmp_path / "logs_dp", port=17773)
+    # 1 process x batch_size 2 = the concatenated batch (one update)
+    run(1, 2, out_single, tmp_path / "logs_single", port=0)
+
+    a = np.load(out_dp)
+    b = np.load(out_single)
+    assert set(a.files) == set(b.files) and len(a.files) > 0
+    for k in a.files:
+        np.testing.assert_allclose(
+            a[k], b[k], rtol=2e-5, atol=2e-6,
+            err_msg=f"leaf {k} diverged between 2-process DP and "
+                    f"single-process concatenated-batch training")
