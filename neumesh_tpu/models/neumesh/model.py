@@ -71,6 +71,7 @@ class NeuMesh:
         tile_cell_budget: int = 0,
         secant_rebracket: bool = True,
         secant_frozen_knn: bool = False,
+        eval_candidates: int = 0,
     ):
         self.mesh_grid = mesh_grid
         self.num_vertices = mesh_grid.get_number_of_vertices()
@@ -179,6 +180,16 @@ class NeuMesh:
         # (the secant is too small a slice of the frame); may pay at
         # higher iteration counts.
         self.secant_frozen_knn = secant_frozen_knn
+        # nearest-prefix candidate budget of the fused density/color
+        # sample evaluations (the volume path's hot kernels): when >0 and
+        # the tile context is proximity-RANKED, forward_density_only /
+        # forward / forward_full on the fused route run against only the
+        # first `eval_candidates` (nearest) candidates — every
+        # per-sample VPU op and the feature matmul scale with C. The
+        # volume samples lie ON the ranked segment, so the prefix keeps
+        # the true 8-NN almost always; the scan/secant analog is
+        # scan_candidates. Serving knob, quality-gated (volume_bf16).
+        self.eval_candidates = eval_candidates
 
         # f32 (compute_dtype=None) is the parity/training mode: exact
         # per-frequency sin/cos. Low-precision serving enables the
@@ -905,6 +916,15 @@ class RayBoundNeuMesh:
             out.append(feat if not cs else feat[:, :cs, :])
         return tuple(out)
 
+    def _eval_ctx_slice(self):
+        """(geo, feat) sliced to the eval_candidates nearest-prefix when
+        the context is proximity-ranked (NeuMesh.eval_candidates)."""
+        geo, feat = self.ctx["geo"], self.ctx["feat"]
+        ec = self.model.eval_candidates
+        if ec and self.ctx.get("_ranked", False) and ec < geo.shape[2]:
+            return geo[:, :, :ec], feat[:, :ec, :]
+        return geo, feat
+
     def _fused_field(self, params, xyz, want: str, dirs=None):
         from ...ops.pallas_kernels import field_fused, pack_ctx_geo
         m = self.model
@@ -922,10 +942,10 @@ class RayBoundNeuMesh:
                 sample_block=m.pallas_sample_block,
                 interpret=jax.default_backend() != "tpu")
         dws, cws = self._field_weights(params)
-        feat = (self.ctx["feat"] if want == "full"
-                else self.ctx["feat"][..., :m.geometry_dim])
+        geo_e, feat = self._eval_ctx_slice()
+        feat = (feat if want == "full" else feat[..., :m.geometry_dim])
         return field_fused(
-            xyz, self.ctx["geo"], feat, m.forward_indicator_weight(params),
+            xyz, geo_e, feat, m.forward_indicator_weight(params),
             dws, cws if want == "full" else None, dirs,
             want=want, multires_d=m.embed_fn_d.multires,
             multires_fg=m.embed_fn_fg.multires,

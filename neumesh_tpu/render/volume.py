@@ -59,6 +59,41 @@ def compute_bounded_near_far(
     return near_new, far_new
 
 
+def root_anchored_depths(near, far, d_root, mask, N_fine: int,
+                         window, win_frac: float = 0.5):
+    """Per-ray sample depths concentrated around a located surface root —
+    sorted by construction (three monotone uniform segments), so the NeuS
+    alpha compositing consumes them without a sort/merge.
+
+    near/far: (R, 1); d_root/mask: (R,) from root finding. `window` is the
+    half-width of the dense middle segment (scalar, may be traced).
+    Rays without a root (mask=False) degrade to uniform sampling over
+    [near, far] (the reference's coarse pass). Returns (R, N_fine)."""
+    near0 = near[..., 0]
+    far0 = far[..., 0]
+    half = 0.5 * (far0 - near0)
+    c = jnp.where(mask, jnp.clip(d_root, near0, far0),
+                  0.5 * (near0 + far0))
+    w = jnp.where(mask, jnp.minimum(window, half), half)
+    lo = jnp.clip(c - w, near0, far0)
+    hi = jnp.clip(c + w, near0, far0)
+
+    n_win = max(1, int(round(N_fine * win_frac)))
+    n_lo = max(1, (N_fine - n_win) // 2)
+    n_hi = max(1, N_fine - n_win - n_lo)
+
+    # endpoint=False on the first two segments avoids duplicate depths at
+    # the joins (duplicates are harmless — zero-length intervals get
+    # alpha 0 — but waste samples)
+    t_lo = near0[..., None] + (lo - near0)[..., None] * (
+        jnp.arange(n_lo, dtype=jnp.float32) / n_lo)
+    t_win = lo[..., None] + (hi - lo)[..., None] * (
+        jnp.arange(n_win, dtype=jnp.float32) / n_win)
+    t_hi = hi[..., None] + (far0 - hi)[..., None] * (
+        jnp.linspace(0.0, 1.0, n_hi))
+    return jnp.concatenate([t_lo, t_win, t_hi], axis=-1)
+
+
 def volume_render_rays(
     model,
     params,
@@ -84,6 +119,12 @@ def volume_render_rays(
     reuse_upsample_sdf: bool = False,
     ray_tile: int = 0,
     color_topk: int = 0,
+    root_anchored: bool = False,
+    root_steps: int = 16,
+    root_secant: int = 3,
+    root_n_fine: int = 48,
+    root_window: float = 0.0,
+    root_win_frac: float = 0.5,
     **dummy_kwargs,
 ):
     """Render one chunk of rays. rays_o/rays_d: (..., N_rays, 3); rays_d need
@@ -115,6 +156,55 @@ def volume_render_rays(
                 near = jnp.full_like(near, near_bypass)
             if far_bypass is not None:
                 far = jnp.full_like(far, far_bypass)
+
+            d_all_override = None
+            if (root_anchored and rays_o.ndim == 2 and not calc_normal
+                    and not random_color_direction):
+                # root-anchored serving: locate the first density
+                # crossing with the surface machinery (proxy scan +
+                # fused secant), then place root_n_fine samples
+                # concentrated around it — replaces the reference's
+                # 64-coarse + 4x16-upsample structure (128 density-MLP
+                # evals/ray) with root_steps proxy evals + root_secant
+                # density evals + root_n_fine density evals. Structural
+                # serving knob, gated by tools/quality_gate.py
+                # volume_bf16 vs the reference-structure f32 render.
+                from .ray_casting import root_finding_surface_points
+
+                def scan_fn(pts):
+                    return bound_model.compute_distance(
+                        params, pts)[0][..., 0]
+
+                def refine_fn(pts):
+                    if pts.ndim == 2:
+                        return bound_model.forward_density_only(
+                            params, pts[:, None, :])[..., 0]
+                    return bound_model.forward_density_only(params, pts)
+
+                secant_override = None
+                if (hasattr(bound_model, "fused_secant")
+                        and getattr(model, "use_pallas", False)):
+                    def secant_override(f_low, f_high, d_low, d_high, n,
+                                        tau, d_low_w=None, d_high_w=None):
+                        return bound_model.fused_secant(
+                            params, rays_o, rays_d, d_low, d_high,
+                            f_low, f_high, n_iters=n, logit_tau=tau,
+                            d_low_w=d_low_w, d_high_w=d_high_w)
+
+                d_pred, _, mask, _ = root_finding_surface_points(
+                    scan_fn, rays_o, rays_d, near=near[..., 0],
+                    far=far[..., 0], N_steps=root_steps,
+                    N_secant_steps=root_secant, fill_inf=False,
+                    refine_query_fn=refine_fn,
+                    secant_override=secant_override,
+                    rebracket=getattr(model, "secant_rebracket", True))
+                s_val = jax.lax.stop_gradient(model.forward_s(params))
+                win = (root_window if root_window
+                       else jnp.clip(6.0 / s_val, 0.02, 0.5))
+                d_all_override = root_anchored_depths(
+                    near, far, d_pred, mask, root_n_fine, win,
+                    root_win_frac)
+
             return _render_core(
                 bound_model, params, rays_o, rays_d, near, far,
                 up_keys, color_dir_key,
@@ -127,7 +217,7 @@ def volume_render_rays(
                 random_color_direction=random_color_direction,
                 phi_s_base=phi_s_base,
                 reuse_upsample_sdf=reuse_upsample_sdf,
-                color_topk=color_topk)
+                color_topk=color_topk, d_all_override=d_all_override)
 
     if bounded_near_far and hasattr(model, "compute_distance"):
         pre_ctx = None
@@ -199,9 +289,12 @@ def _render_core(
     phi_s_base,
     reuse_upsample_sdf,
     color_topk=0,
+    d_all_override=None,
 ):
     """Sampling + up-sampling + evaluation + compositing on a (possibly
-    ray-bound) model with near/far already resolved."""
+    ray-bound) model with near/far already resolved. d_all_override
+    supplies externally-placed (sorted) sample depths — the root-anchored
+    serving path — skipping the coarse + hierarchical up-sampling."""
     view_dirs = rays_d if use_view_dirs else None
 
     # ---- coarse samples (reference models/renderer.py:193-194)
@@ -248,8 +341,13 @@ def _render_core(
             _d, _sdf = jax.lax.sort((_d, _sdf), dimension=-1, num_keys=1)
         return _d, _sdf
 
-    d_all, sdf_up = jax.lax.stop_gradient(
-        upsample(jax.lax.stop_gradient(d_coarse)))
+    if d_all_override is not None:
+        d_all = jax.lax.stop_gradient(d_all_override)
+        sdf_up = None
+        reuse_upsample_sdf = False
+    else:
+        d_all, sdf_up = jax.lax.stop_gradient(
+            upsample(jax.lax.stop_gradient(d_coarse)))
 
     # ---- final evaluation (reference models/renderer.py:262-294)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * d_all[..., :, None]

@@ -182,3 +182,101 @@ def test_color_topk_matches_full():
                              N_samples=64, N_importance=64,
                              N_upsample_iters=4)
     assert det["radiance"].shape[-2] == 127
+
+
+def test_root_anchored_depths_properties():
+    """Placement depths must be sorted, within [near, far], and degrade to
+    ~uniform coverage for rays without a root."""
+    from neumesh_tpu.render.volume import root_anchored_depths
+
+    near = jnp.array([[1.0], [0.5]])
+    far = jnp.array([[3.0], [2.5]])
+    d_root = jnp.array([2.0, 0.0])
+    mask = jnp.array([True, False])
+    d = np.asarray(root_anchored_depths(near, far, d_root, mask, 48,
+                                        window=0.1))
+    assert d.shape == (2, 48)
+    assert (np.diff(d, axis=-1) >= 0).all(), "depths must be sorted"
+    assert (d >= np.asarray(near)).all() and (d <= np.asarray(far)).all()
+    # rooted ray: half the samples inside the +-window
+    in_win = np.sum(np.abs(d[0] - 2.0) <= 0.1 + 1e-6)
+    assert in_win >= 24
+    # unrooted ray: ~uniform — max gap close to uniform spacing
+    gaps = np.diff(d[1])
+    assert gaps.max() < 2.5 * (2.5 - 0.5) / 48
+
+
+def test_root_anchored_render_close_to_hierarchical():
+    """The root-anchored serving structure must reproduce the reference
+    hierarchical render on a trained-shape NeuMesh (XLA route; the gate
+    scores the bf16 fused config end-to-end on the trained scene)."""
+    from tests.test_rayctx import make_model
+
+    model, params = make_model()
+    n = 64
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.12, 0.12, n)
+    d = jnp.stack([ang, jnp.zeros(n), jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    kw = dict(detailed_output=False, perturb=False, bounded_near_far=True,
+              N_samples=64, N_importance=64, N_upsample_iters=4)
+    ref = volume_render_rays(model, params, o, d, jax.random.PRNGKey(0),
+                             reuse_upsample_sdf=True, ray_tile=16, **kw)
+    ra = volume_render_rays(model, params, o, d, jax.random.PRNGKey(0),
+                            ray_tile=16, root_anchored=True,
+                            root_n_fine=64, **kw)
+    rgb_mae = float(np.abs(np.asarray(ref["rgb"])
+                           - np.asarray(ra["rgb"])).mean())
+    acc_mae = float(np.abs(np.asarray(ref["mask_volume"])
+                           - np.asarray(ra["mask_volume"])).mean())
+    assert np.isfinite(np.asarray(ra["rgb"])).all()
+    assert rgb_mae < 0.02, rgb_mae
+    assert acc_mae < 0.05, acc_mae
+
+
+def test_eval_candidates_prefix_mechanism():
+    """eval_candidates must slice the ranked tile context to the nearest
+    prefix for the fused density evals: the knobbed result must equal a
+    manual prefix-slice of the unknobbed context exactly, and stay close
+    to the full-set result (the approximation itself is quality-gated by
+    tools/quality_gate.py volume_bf16, not pinned here)."""
+    from tests.test_rayctx import make_model
+
+    model, params = make_model()
+    model.use_pallas = True
+    n = 32
+    o = jnp.tile(jnp.array([[0.0, 0.0, -2.5]]), (n, 1))
+    ang = jnp.linspace(-0.1, 0.1, n)
+    d = jnp.stack([ang, jnp.zeros(n), jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    from neumesh_tpu.ops.rays import near_far_from_sphere
+    near, far = near_far_from_sphere(o, d)
+
+    tb = model.bind_rays_tiled(params, o, d, near, far, tile=16)
+    assert tb is not None
+    bound, nb, fb = tb
+    assert bound.ctx.get("_ranked", False)
+    t = jnp.linspace(0.0, 1.0, 8)
+    z = nb * (1 - t) + fb * t
+    pts = o[:, None, :] + z[..., None] * d[:, None, :]
+    full = np.asarray(bound.forward_density_only(params, pts))
+
+    ec = 96
+    model.eval_candidates = ec
+    tb2 = model.bind_rays_tiled(params, o, d, near, far, tile=16)
+    pre = np.asarray(tb2[0].forward_density_only(params, pts))
+
+    # mechanism: knobbed == manual prefix slice of the same context
+    model.eval_candidates = 0
+    tb3 = model.bind_rays_tiled(params, o, d, near, far, tile=16)
+    b3 = tb3[0]
+    from neumesh_tpu.ops.pallas_kernels import pack_ctx_geo
+    b3.ctx["geo"] = pack_ctx_geo(b3.ctx)[:, :, :ec]
+    b3.ctx["feat"] = b3.ctx["feat"][:, :ec, :]
+    manual = np.asarray(b3.forward_density_only(params, pts))
+    np.testing.assert_allclose(pre, manual, atol=1e-6)
+
+    # the prefix is a controlled approximation of the full set
+    assert float(np.abs(pre - full).mean()) < 0.01
+    model.eval_candidates = 0

@@ -41,18 +41,29 @@ def rays(n):
         _np.stack([ax.ravel(), ay.ravel(), _np.ones(n, _np.float32)], -1))
     return rays_o, rays_d
 
-def bench(model, params, n, iters=10, tile=0):
+def bench(model, params, n, iters=10, tile=0, blocks=None, **render_kw):
+    mg = model.mesh_grid
+
     @jax.jit
-    def render(params, o, d):
-        return volume_render_rays(model, params, o, d, jax.random.PRNGKey(0),
-            detailed_output=False, perturb=False, bounded_near_far=True,
-            N_samples=64, N_importance=64, N_upsample_iters=4,
-            reuse_upsample_sdf=True, ray_tile=tile)['rgb']
+    def render(params, o, d, mesh_bufs):
+        with mg.bound_buffers(mesh_bufs):
+            return volume_render_rays(
+                model, params, o, d, jax.random.PRNGKey(0),
+                detailed_output=False, perturb=False,
+                bounded_near_far=True, N_samples=64, N_importance=64,
+                N_upsample_iters=4, reuse_upsample_sdf=True,
+                ray_tile=tile, **render_kw)['rgb']
     o, d = rays(n)
-    render(params, o, d).block_until_ready()
+    if blocks is not None:
+        from neumesh_tpu.ops.rays import block_order_indices
+        side = int(n ** 0.5)
+        perm, _ = block_order_indices(side, side, *blocks)
+        o, d = o[perm], d[perm]
+    bufs = mg.device_buffers()
+    render(params, o, d, bufs).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render(params, o, d)
+        out = render(params, o, d, bufs)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     return n * iters / dt / 1e6

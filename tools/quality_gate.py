@@ -159,6 +159,31 @@ def main():
                     help="nearest-prefix candidate budget for scan + "
                          "secant (NeuMesh.scan_candidates; 0 = full). "
                          "Applied to serving AND the f32 anchor")
+    ap.add_argument("--volume-root-anchored", action="store_true",
+                    help="root-anchored volume serving: locate the first "
+                         "density crossing (proxy scan + fused secant) "
+                         "and place --volume-n-fine concentrated samples "
+                         "instead of the 64+4x16 hierarchical structure. "
+                         "Applied to volume_bf16 ONLY — volume_f32 keeps "
+                         "the reference structure, so the gated delta "
+                         "includes the structural approximation")
+    ap.add_argument("--volume-n-fine", type=int, default=48,
+                    help="samples per ray of the root-anchored volume "
+                         "serving path")
+    ap.add_argument("--volume-root-steps", type=int, default=16,
+                    help="proxy-scan steps of the root-anchored path")
+    ap.add_argument("--volume-root-secant", type=int, default=3,
+                    help="secant iterations of the root-anchored path")
+    ap.add_argument("--volume-win-frac", type=float, default=0.5,
+                    help="fraction of root-anchored samples in the dense "
+                         "window around the root")
+    ap.add_argument("--volume-topk", type=int, default=16,
+                    help="color_topk of the volume serving config")
+    ap.add_argument("--eval-candidates", type=int, default=0,
+                    help="nearest-prefix candidate budget of the fused "
+                         "density/color sample evals "
+                         "(NeuMesh.eval_candidates; 0 = full set). "
+                         "Applied to the volume serving config only")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -223,8 +248,11 @@ def main():
     results = {}
     views = [1, 6, 11, 16]
 
+    renders = {}
+
     def eval_renders(render_one, tag):
         psnrs = []
+        imgs = []
         ds = get_data(mcfg, downscale=1)
         for vi in views:
             _, sample, gt = ds[vi]
@@ -232,12 +260,21 @@ def main():
                                  jnp.asarray(sample["intrinsics"]),
                                  ds.H, ds.W)
             rgb = render_one(ro, rd)
+            imgs.append(np.asarray(rgb))
             p = float(psnr_fn(jnp.asarray(rgb),
                               jnp.asarray(np.asarray(gt["rgb"]))))
             psnrs.append(p)
+        renders[tag] = imgs
         results[tag] = round(float(np.mean(psnrs)), 3)
         print(f"{tag}: mean PSNR {results[tag]:.2f} dB "
               f"({[round(p, 2) for p in psnrs]})")
+
+    def image_vs_image(tag_a, tag_b):
+        """Mean PSNR of tag_a's renders against tag_b's renders
+        (image-vs-image, not vs GT — VERDICT r3 #3)."""
+        ps = [float(psnr_fn(jnp.asarray(a), jnp.asarray(b)))
+              for a, b in zip(renders[tag_a], renders[tag_b])]
+        return round(float(np.mean(ps)), 3)
 
     from neumesh_tpu.render.ray_casting import surface_render
     from neumesh_tpu.render.volume import volume_render_rays
@@ -270,7 +307,8 @@ def main():
         params = restore_into(params, ck["model"])
         return model, params
 
-    def volume_one(model, params, tile=16, blocks=None, color_topk=0):
+    def volume_one(model, params, tile=16, blocks=None, color_topk=0,
+                   root_anchored=False):
         perm = inv = None
         if blocks is not None:
             from neumesh_tpu.ops.rays import block_order_indices
@@ -286,7 +324,12 @@ def main():
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True,
-                ray_tile=tile, color_topk=color_topk)["rgb"]
+                ray_tile=tile, color_topk=color_topk,
+                root_anchored=root_anchored,
+                root_steps=args.volume_root_steps,
+                root_secant=args.volume_root_secant,
+                root_n_fine=args.volume_n_fine,
+                root_win_frac=args.volume_win_frac)["rgb"]
             return out if inv is None else out[inv]
         return r
 
@@ -317,8 +360,12 @@ def main():
     # the volume SERVING config (bench.py volume_mrays): bf16 fused
     # kernels, tile=64 contexts over 8x8 pixel blocks
     m16, p16 = make_model(True, "bf16")
+    if args.eval_candidates:
+        m16.eval_candidates = args.eval_candidates
     eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
-                            color_topk=16), "volume_bf16")
+                            color_topk=args.volume_topk,
+                            root_anchored=args.volume_root_anchored),
+                 "volume_bf16")
     # surface-mode parity anchor: the f32 fused-kernel surface render at
     # the SAME structural config (steps/secant/kp) as the serving mode —
     # the gated delta then isolates precision (bf16 + selective-f32)
@@ -353,7 +400,24 @@ def main():
     if args.secant_frozen_knn:
         results["secant_frozen_knn"] = True
 
+    if args.volume_root_anchored:
+        results["volume_root_anchored"] = True
+        results["volume_n_fine"] = args.volume_n_fine
+        results["volume_root_steps"] = args.volume_root_steps
+        results["volume_root_secant"] = args.volume_root_secant
+        results["volume_win_frac"] = args.volume_win_frac
+    if args.volume_topk != 16:
+        results["volume_topk"] = args.volume_topk
+    if args.eval_candidates:
+        results["eval_candidates"] = args.eval_candidates
+
     results["serving_f32_layers"] = list(serving_f32_layers)
+    # image-vs-image PSNRs (VERDICT r3 #3): how far each serving mode's
+    # IMAGE is from the f32 reference-structure volume render
+    results["volume_serving_vs_f32_img"] = image_vs_image(
+        "volume_bf16", "volume_f32")
+    results["surface_vs_volume_img"] = image_vs_image(
+        "surface_fast", "volume_f32")
     results["bf16_delta_db"] = round(
         results["volume_bf16"] - results["volume_f32"], 3)
     results["surface_serving_delta_db"] = round(
@@ -369,6 +433,13 @@ def main():
     results["gate_bf16"] = bool(
         abs(results["surface_serving_delta_db"]) <= 0.1)
     results["gate_surface"] = bool(results["surface_delta_db"] >= -1.0)
+    #   gate_volume  — the benchmarked volume serving config (bf16 fused
+    #                  kernels + any structural knobs: color_topk,
+    #                  root-anchored sampling, eval_candidates) must stay
+    #                  within 0.1 dB of the reference-structure f32
+    #                  volume render on GT PSNR
+    results["gate_volume"] = bool(
+        results["volume_bf16"] - results["volume_f32"] >= -0.1)
     print(json.dumps(results))
     with open(os.path.join(workdir, "quality_gate.json"), "w") as f:
         json.dump(results, f, indent=2)
