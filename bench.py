@@ -116,14 +116,51 @@ def main():
     surf_mrays_10k = bench_surface(model5, params5, 65536, tile=128,
                                    max_cand=128)
 
+    # ---- secondary: shard-path overhead on one chip (VERDICT r3 #6):
+    # the explicit shard_map on a 1-device mesh vs the direct program at
+    # the headline config — quantifies the per-chip cost baked into any
+    # multi-chip extrapolation (padding, dispatch, replicated tables)
+    shard_overhead_pct = None
+    if n_dev == 1:
+        mesh1 = get_device_mesh(1)
+        o_s, d_s = rays(65536)
+        side = 256
+        perm, _ = block_order_indices(side, side, 8, 16)
+        o_s, d_s = o_s[perm], d_s[perm]
+        mg = model7.mesh_grid
+
+        @jax.jit
+        def render_surface_m1(params, o, d, mesh_bufs):
+            with mg.bound_buffers(mesh_bufs):
+                c, dep, _ = sharded_surface_render(
+                    model7, params, o, d, mesh=mesh1,
+                    force_shard_map=True, ray_tile=128,
+                    scan_mode="distance", tile_max_candidates=128,
+                    ray_casting_cfgs={"N_steps": 16,
+                                      "N_secant_steps": 3})
+            return c
+
+        bufs = mg.device_buffers()
+        render_surface_m1(params7, o_s, d_s, bufs).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = render_surface_m1(params7, o_s, d_s, bufs)
+        out.block_until_ready()
+        m1_mrays = 65536 * 10 / (time.perf_counter() - t0) / 1e6
+        shard_overhead_pct = round((surf_mrays / m1_mrays - 1) * 100, 2)
+
     # ---- secondary: full volume path at production mesh scale (its own
     # serving build: plain bf16 kernels — the surface config's selective
     # f32 layers cost the volume path ~25% for a quality mode it does not
-    # gate on; tile=64 contexts over 8x8 pixel blocks, scored by
-    # tools/quality_gate.py volume_bf16)
-    # sblk=1024: the density kernel runs 62 vs 54 Msamp/s at 512-sample
-    # blocks (tools/kernel_micro.py); block partitioning is bit-exact, so
-    # the volume_bf16 gate verdict carries over
+    # gate on; tile=64 contexts over 8x8 pixel blocks). Root-anchored
+    # serving structure (render/volume.py::root_anchored_depths): locate
+    # the density crossing with the surface machinery, place
+    # VOL_N_FINE concentrated samples, top-k color — scored by
+    # tools/quality_gate.py volume_bf16 vs the reference-structure f32
+    # render (gate_volume; the gate JSON also reports the image-vs-image
+    # PSNR against the f32 render).
+    VOL = dict(root_anchored=True, root_n_fine=48, root_steps=16,
+               root_secant=3, color_topk=16)
     model7v, params7v = build(use_pallas=True, sblk=1024, subdivisions=7,
                               tile_kp_per_probe=12, tile_cell_budget=32)
     n_vol = 16384
@@ -141,7 +178,7 @@ def main():
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64,
-                color_topk=16)
+                **VOL)
         return ret["rgb"]
 
     bufs7 = mg7.device_buffers()
@@ -153,7 +190,13 @@ def main():
     out.block_until_ready()
     vol_mrays = n_vol * iters / (time.perf_counter() - t0) / 1e6
 
-    print(json.dumps({
+    # ---- secondary: training-step throughput at the reference schedule
+    # shape (VERDICT r3 #5): 512 rays, 64+4x16 samples, full teacher
+    # distillation, through the real build_train_step
+    from tools.bench_train import measure as measure_train
+    train = measure_train(subdivisions=7, iters=20)
+
+    line = {
         "metric": "surface_render_throughput",
         "value": round(surf_mrays, 4),
         "unit": "Mrays/s",
@@ -161,9 +204,14 @@ def main():
         "surface_mrays_10k": round(surf_mrays_10k, 4),
         "volume_mrays": round(vol_mrays, 4),
         "volume_vs_baseline": round(vol_mrays / 20.0, 4),
+        "train_iters_per_s": train["train_iters_per_s"],
+        "train_ms_per_iter": train["ms_per_iter"],
         "n_vertices": n_vertices,
         "n_devices": n_dev,
-    }))
+    }
+    if shard_overhead_pct is not None:
+        line["shard_overhead_pct"] = shard_overhead_pct
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -419,6 +419,34 @@ def _emb_cols(x, n_freq: int, tangent: bool = False):
     return cols, freq * jnp.sin(z + math.pi / 2.0)
 
 
+def _emb_cols_rec(x, n_freq: int):
+    """Same columns as _emb_cols via the double-angle recursion: 2
+    transcendentals + 3 mults per freq step instead of 2*n_freq sins.
+    Column order [sin(f0 x) (D), cos(f0 x) (D), sin(f1 x) (D), ...]
+    matches _emb_cols. ~3e-5 abs error at n_freq=8 (same recursion the
+    XLA serving embedder uses, see nn.get_embedder exact=False) — far
+    below the bf16 cast error of the low-precision path it serves.
+    Intended for WIDE inputs (feature embeddings): each freq contributes
+    full (S, D) pieces, so the concat relayouts are cheap; scalar inputs
+    keep the tiled-sin _emb_cols (2*n_freq single-lane slivers)."""
+    if n_freq <= 0:
+        return None
+    s, c = jnp.sin(x), jnp.cos(x)
+    parts = [s, c]
+    for _ in range(n_freq - 1):
+        s, c = 2.0 * s * c, c * c - s * s
+        parts += [s, c]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _emb_cols_wide(x, n_freq: int, dtype):
+    """Feature-embedding columns: exact tiled-sin in the f32 parity mode,
+    double-angle recursion in low-precision serving (dtype set)."""
+    if dtype is None:
+        return _emb_cols(x, n_freq)
+    return _emb_cols_rec(x, n_freq)
+
+
 def _softplus100(x):
     bx = 100.0 * x
     return jnp.where(bx > 20.0, x, jax.nn.softplus(bx) / 100.0)
@@ -531,9 +559,17 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
     else:
         dcols = _emb_cols(ds, multires_d)
     d_emb = _cat([ds, dcols])                            # (Sblk, 17)
-    emb0 = _cat([ds, dcols, fg, _emb_cols(fg, multires_fg)])
-    w0 = jnp.concatenate([w0d, w0f], axis=0)
-    pre = dot(emb0, w0) + b0[0]
+    # split first-layer dot: the wide fg embedding feeds its own dot
+    # instead of being concatenated into a misaligned (Sblk, 177)
+    # operand (the concat costs a lane relayout of the 128-col piece;
+    # K=49 + K=128 is the same two MXU passes as K=177)
+    fg_emb = _emb_cols_wide(fg, multires_fg, dtype)
+    head = _cat([ds, dcols, fg])                         # (Sblk, 49)
+    nfg = fg.shape[-1]
+    w_head = jnp.concatenate([w0d, w0f[:nfg]], axis=0)
+    pre = dot(head, w_head) + b0[0]
+    if fg_emb is not None:
+        pre = pre + dot(fg_emb, w0f[nfg:])
     h = _softplus100(pre)
     if want_tangent:
         t = t * _softplus100_grad(pre)
@@ -692,11 +728,17 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     # ---- color MLP: [nabla, d_emb, view_emb, ft_emb] @ W0 ...
     # col_ws = [w0 (full first-layer weight), b0, w1, b1, ..., wh, bh]
     vdir = cat0([dirs_ref[g].T[:, 0:3] for g in range(G)])  # (G*Sblk, 3)
-    cw0, cb0 = col_ws[0], col_ws[1]
-    col_in = _cat(
+    cw0, cb0 = col_ws[0][...], col_ws[1]
+    # split first-layer dot (see _density_mlp): the wide ft embedding
+    # gets its own dot instead of a misaligned 207-col concat
+    ft_emb = _emb_cols_wide(ft, multires_ft, dtype)
+    col_head = _cat(
         [nx, ny, nz, d_emb, vdir, _emb_cols(vdir, multires_view),
-         ft, _emb_cols(ft, multires_ft)])                # (Sblk, 207)
-    pre = dot2(col_in, cw0[...]) + cb0[...][0]
+         ft])                                            # (Sblk, 79)
+    nh = col_head.shape[-1]
+    pre = dot2(col_head, cw0[:nh]) + cb0[...][0]
+    if ft_emb is not None:
+        pre = pre + dot2(ft_emb, cw0[nh:])
     hcol = jnp.maximum(pre, 0.0)
     wi = 2
     for _ in range(n_col - 1):

@@ -87,6 +87,17 @@ if __name__ == "__main__":
         run("density sblk=1024", sblk=1024)
         run("density sblk=256", sblk=256)
         run("density f32", dtype=None)
+    if which == "act":
+        # quantify the softplus100 activation cost: swap it for relu
+        # (exp+log1p per hidden element vs one max)
+        import neumesh_tpu.ops.pallas_kernels as pk
+        run("density softplus (base)", sblk=1024)
+        orig = pk._softplus100
+        pk._softplus100 = lambda x: jnp.maximum(x, 0.0)
+        run("density relu-act", sblk=1024)
+        pk._softplus100 = orig
+        run("density sblk=2048", sblk=2048)
+        run("full sblk=1024", want="full", sblk=1024)
     if which == "secantshape":
         # the secant's per-eval shape: 65536 samples as 512 thin
         # (T=128) per-tile programs vs the same samples in fat blocks —
