@@ -925,7 +925,7 @@ class RayBoundNeuMesh:
             return geo[:, :, :ec], feat[:, :ec, :]
         return geo, feat
 
-    def _fused_field(self, params, xyz, want: str, dirs=None):
+    def _fused_field(self, params, xyz, want: str, dirs=None, group=None):
         from ...ops.pallas_kernels import field_fused, pack_ctx_geo
         m = self.model
         if "geo" not in self.ctx:
@@ -953,7 +953,8 @@ class RayBoundNeuMesh:
             multires_view=m.embed_fn_view.multires,
             geometry_dim=m.geometry_dim, dtype=m.compute_dtype,
             sample_block=m.pallas_sample_block,
-            group=(m.full_tiles_per_program if want == "full" else 1),
+            group=(group if group is not None else
+                   (m.full_tiles_per_program if want == "full" else 1)),
             interpret=jax.default_backend() != "tpu")
 
     # ---- v3 Pallas candidate path (ctx math only; ops/pallas_kernels.py)
@@ -1066,6 +1067,39 @@ class RayBoundNeuMesh:
         ds, W = self.model._ctx_distance_parts(params, self.ctx, x)
         density, _ = self.model._ctx_density(params, self.ctx, ds, W)
         return self._unflat(density[..., 0])
+
+    def forward_density_only_nograd(self, params, xyz):
+        """Forward-only density for the renderer's stop-gradient
+        up-sampling (sample PLACEMENT only — the reference runs these
+        evals under no_grad, models/renderer.py:200): routes to the
+        fused kernel even when the model otherwise trains on the
+        differentiable XLA path (use_pallas=False). All operands are
+        stop_gradient'ed, so the un-differentiable pallas_call sees only
+        zero tangents under value_and_grad. The f32 (dtype=None) kernel
+        is the parity mode — pinned == XLA in tests/test_pallas.py."""
+        if jax.default_backend() != "tpu":
+            # interpret-mode kernels are slower than XLA off-TPU
+            return self.forward_density_only(
+                params, jax.lax.stop_gradient(xyz))
+        sg = jax.lax.stop_gradient
+        ctx_sg = {k: (sg(v) if hasattr(v, "dtype") else v)
+                  for k, v in self.ctx.items()}
+        if isinstance(self, TileBoundNeuMesh):
+            view = TileBoundNeuMesh(self.model, ctx_sg, self.prefix,
+                                    self.tile)
+        else:
+            view = RayBoundNeuMesh(self.model, ctx_sg, self.prefix)
+        x = view._flat(sg(xyz))
+        # training shapes are many thin blocks (512 per-ray contexts x
+        # 16-64 samples); group programs to ~1024 rows each (thin
+        # (rows, C) chains are latency-bound, see _interp_distance)
+        sblk_est = min(self.model.pallas_sample_block,
+                       max(32, x.shape[1]))
+        group = max(1, min(x.shape[0], 1024 // sblk_est))
+        while x.shape[0] % group:
+            group -= 1
+        out = view._fused_field(sg(params), x, "density", group=group)
+        return view._unflat(out[0])
 
     def forward_with_nablas(self, params, xyz):
         x = self._flat(xyz)

@@ -86,8 +86,12 @@ def _kernel(xyz_ref, pts_ref, pp_ref, ind_ref, vn_ref, feat_ref, w1_ref,
         cur = jnp.where(cur <= thr, jnp.inf, cur)
     mask = d2_tb <= thr
 
-    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
-    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    # one sqrt serves both uses: sqrt(max(d2,1e-20)) == max(sqrt(d2),1e-10)
+    # bit-exactly (sqrt is exactly rounded and monotone), so the f32
+    # pallas==XLA parity pin is preserved
+    d0 = jnp.sqrt(d2)
+    d = jnp.maximum(d0, 1e-10)
+    w_raw = jnp.where(mask, 1.0 / (d0 + 1e-7), 0.0)
     W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)   # (rb, S, C)
 
     xn = (x[..., 0:1] * bcast(ind, 0) + x[..., 1:2] * bcast(ind, 1)
@@ -222,8 +226,12 @@ def _v3_kernel(w1_ref, xyz_ref, geo_ref, feat_ref, *out_refs,
         cur = jnp.where(cur <= thr, jnp.inf, cur)
     mask = d2_tb <= thr
 
-    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
-    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    # one sqrt serves both uses: sqrt(max(d2,1e-20)) == max(sqrt(d2),1e-10)
+    # bit-exactly (sqrt is exactly rounded and monotone), so the f32
+    # pallas==XLA parity pin is preserved
+    d0 = jnp.sqrt(d2)
+    d = jnp.maximum(d0, 1e-10)
+    w_raw = jnp.where(mask, 1.0 / (d0 + 1e-7), 0.0)
     W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)  # (Sblk, C)
 
     xn = x0 * ix + x1 * iy + x2 * iz
@@ -431,7 +439,11 @@ def _emb_cols_rec(x, n_freq: int):
     keep the tiled-sin _emb_cols (2*n_freq single-lane slivers)."""
     if n_freq <= 0:
         return None
-    s, c = jnp.sin(x), jnp.cos(x)
+    # Mosaic legalizes vector transcendentals only at f32: take the base
+    # sin/cos in f32 and run the (mult-only) recursion in the input dtype
+    xf = x.astype(jnp.float32)
+    s = jnp.sin(xf).astype(x.dtype)
+    c = jnp.cos(xf).astype(x.dtype)
     parts = [s, c]
     for _ in range(n_freq - 1):
         s, c = 2.0 * s * c, c * c - s * s
@@ -445,6 +457,22 @@ def _emb_cols_wide(x, n_freq: int, dtype):
     if dtype is None:
         return _emb_cols(x, n_freq)
     return _emb_cols_rec(x, n_freq)
+
+
+def _feat_dot(W, feat):
+    """kNN feature blend W @ feat^T, contracting the trailing C dim of
+    both operands (feat stored transposed (F, C) so its tiles carry no
+    lane padding). Precision follows the FEAT dtype: the f32 parity mode
+    runs a true-f32 pass; serving ships the feature table pre-cast to
+    the serving dtype (field_fused), turning the 6-pass f32 'highest'
+    MXU emulation into one bf16 pass. f32 accumulation either way."""
+    if feat.dtype == jnp.float32:
+        return jax.lax.dot_general(
+            W, feat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest")
+    return jax.lax.dot_general(
+        W.astype(feat.dtype), feat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _softplus100(x):
@@ -507,8 +535,12 @@ def _interp_distance(x0, x1, x2, geo, w1, k: int, want_dh: bool):
         cur = jnp.where(cur <= thr, jnp.inf, cur)
     mask = d2_tb <= thr
 
-    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
-    w_raw = jnp.where(mask, 1.0 / (jnp.sqrt(d2) + 1e-7), 0.0)
+    # one sqrt serves both uses: sqrt(max(d2,1e-20)) == max(sqrt(d2),1e-10)
+    # bit-exactly (sqrt is exactly rounded and monotone), so the f32
+    # pallas==XLA parity pin is preserved
+    d0 = jnp.sqrt(d2)
+    d = jnp.maximum(d0, 1e-10)
+    w_raw = jnp.where(mask, 1.0 / (d0 + 1e-7), 0.0)
     W = w_raw / jnp.sum(w_raw, axis=-1, keepdims=True)
 
     xn = x0 * ix + x1 * iy + x2 * iz
@@ -537,9 +569,24 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
 
     Per-layer precision follows the WEIGHT dtype (selective-f32 serving,
     NeuMesh f32_layers): an f32 weight runs a true-f32 pass regardless of
-    the global serving dtype; low-precision weights cast the activations
-    down to match."""
+    the global serving dtype; low-precision weights keep the whole layer
+    (MXU output, bias add, activation) in the serving dtype — the f32
+    writeback + per-layer f32->bf16 cast were pure VPU glue."""
     def dot(a, wm):
+        if wm.dtype == jnp.float32:
+            return jnp.dot(a.astype(jnp.float32), wm,
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
+        # Mosaic requires 32-bit matmul accumulators (bf16 acc is
+        # rejected at verification); low-precision layers downcast at
+        # the next layer's input cast instead
+        return jnp.dot(a.astype(wm.dtype), wm,
+                       preferred_element_type=jnp.float32)
+
+    def dott(a, wm):
+        # tangent-chain dots keep f32 accumulation/storage regardless of
+        # the serving dtype: dD/dh feeds the nabla (surface normals /
+        # color input) and bf16 storage across D layers compounds
         if wm.dtype == jnp.float32:
             return jnp.dot(a.astype(jnp.float32), wm,
                            preferred_element_type=jnp.float32,
@@ -547,15 +594,22 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
         return jnp.dot(a.astype(wm.dtype), wm,
                        preferred_element_type=jnp.float32)
 
+    def badd(x, b):
+        return x + b[0].astype(x.dtype)
+
     # materialise the weight refs once (callers may pass Refs or
     # values; [...] is the identity on plain arrays, and Ref tracers
     # masquerade as jnp arrays so isinstance cannot tell them apart)
     dens_ws = tuple(w[...] for w in dens_ws)
     n_dens = (len(dens_ws) - 3) // 2
     w0d, w0f, b0 = dens_ws[0], dens_ws[1], dens_ws[2]
+    if dtype is not None:
+        fg = fg.astype(dtype)  # embeddings + identity in the serving
+        #                        dtype (the XLA serving path does the
+        #                        same, NeuMesh._density_from_interp)
     if want_tangent:
         dcols, ddcols = _emb_cols(ds, multires_d, tangent=True)
-        t = dot(_cat([jnp.ones_like(ds), ddcols]), w0d)
+        t = dott(_cat([jnp.ones_like(ds), ddcols]), w0d)
     else:
         dcols = _emb_cols(ds, multires_d)
     d_emb = _cat([ds, dcols])                            # (Sblk, 17)
@@ -567,25 +621,25 @@ def _density_mlp(ds, fg, dens_ws, multires_d, multires_fg, dtype,
     head = _cat([ds, dcols, fg])                         # (Sblk, 49)
     nfg = fg.shape[-1]
     w_head = jnp.concatenate([w0d, w0f[:nfg]], axis=0)
-    pre = dot(head, w_head) + b0[0]
+    pre = badd(dot(head, w_head), b0)
     if fg_emb is not None:
-        pre = pre + dot(fg_emb, w0f[nfg:])
+        pre = pre + dot(fg_emb, w0f[nfg:]).astype(pre.dtype)
     h = _softplus100(pre)
     if want_tangent:
-        t = t * _softplus100_grad(pre)
+        t = t * _softplus100_grad(pre).astype(jnp.float32)
     wi = 3
     for _ in range(n_dens - 1):
         wl, bl = dens_ws[wi], dens_ws[wi + 1]
         wi += 2
-        pre = dot(h, wl) + bl[0]
+        pre = badd(dot(h, wl), bl)
         h = _softplus100(pre)
         if want_tangent:
-            t = dot(t, wl) * _softplus100_grad(pre)
+            t = dott(t, wl) * _softplus100_grad(pre).astype(jnp.float32)
     wh, bh = dens_ws[wi], dens_ws[wi + 1]
-    dens = (dot(h, wh) + bh[0]).astype(jnp.float32)  # (Sblk, 1)
+    dens = badd(dot(h, wh), bh).astype(jnp.float32)  # (Sblk, 1)
     if not want_tangent:
         return dens, d_emb
-    return dens, d_emb, dot(t, wh).astype(jnp.float32)
+    return dens, d_emb, dott(t, wh).astype(jnp.float32)
 
 
 def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
@@ -646,12 +700,9 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
             ds3, W3 = _interp_distance(x0, x1, x2, geo_ref[...], w1, k,
                                        False)
         ds = ds3.reshape(G * Sb, 1)
-        feats = jnp.concatenate([
-            jax.lax.dot_general(
-                W3[g], feat_ref[g], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision="highest")
-            for g in range(G)], axis=0)              # (G*Sblk, F)
+        feats = jnp.concatenate(
+            [_feat_dot(W3[g], feat_ref[g]) for g in range(G)],
+            axis=0)                                  # (G*Sblk, F)
     else:
         ds_p, W_p, dh_p, feats_p = [], [], [], []
         for g in range(G):
@@ -665,13 +716,8 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
                 ds_g, W_g = _interp_distance(x0, x1, x2, geo_ref[g], w1,
                                              k, False)
             # kNN feature blend: one MXU matmul against the context
-            # features, contracting the trailing C dim of both operands
-            # (feat is stored transposed (F, C) so its tiles carry no
-            # lane padding)
-            feats_p.append(jax.lax.dot_general(
-                W_g, feat_ref[g], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision="highest"))                # (Sblk, F)
+            # features (see _feat_dot)
+            feats_p.append(_feat_dot(W_g, feat_ref[g]))  # (Sblk, F)
             ds_p.append(ds_g)
             W_p.append(W_g)
         ds = cat0(ds_p)
@@ -691,6 +737,9 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
                            precision="highest")
         return jnp.dot(a.astype(wm.dtype), wm,
                        preferred_element_type=jnp.float32)
+
+    def badd2(x, b):
+        return x + b[...][0].astype(x.dtype)
 
     ri = 0
     dens_ws = refs[ri:ri + 2 * (n_dens + 1) + 1]
@@ -731,23 +780,25 @@ def _field_kernel(w1_ref, xyz_ref, dirs_ref, geo_ref, feat_ref, *refs,
     cw0, cb0 = col_ws[0][...], col_ws[1]
     # split first-layer dot (see _density_mlp): the wide ft embedding
     # gets its own dot instead of a misaligned 207-col concat
+    if dtype is not None:
+        ft = ft.astype(dtype)
     ft_emb = _emb_cols_wide(ft, multires_ft, dtype)
     col_head = _cat(
         [nx, ny, nz, d_emb, vdir, _emb_cols(vdir, multires_view),
          ft])                                            # (Sblk, 79)
     nh = col_head.shape[-1]
-    pre = dot2(col_head, cw0[:nh]) + cb0[...][0]
+    pre = badd2(dot2(col_head, cw0[:nh]), cb0)
     if ft_emb is not None:
-        pre = pre + dot2(ft_emb, cw0[nh:])
+        pre = pre + dot2(ft_emb, cw0[nh:]).astype(pre.dtype)
     hcol = jnp.maximum(pre, 0.0)
     wi = 2
     for _ in range(n_col - 1):
         wl, bl = col_ws[wi], col_ws[wi + 1]
         wi += 2
-        hcol = jnp.maximum(dot2(hcol, wl[...]) + bl[...][0], 0.0)
+        hcol = jnp.maximum(badd2(dot2(hcol, wl[...]), bl), 0.0)
     cwh, cbh = col_ws[wi], col_ws[wi + 1]
-    rgb = jax.nn.sigmoid((dot2(hcol, cwh[...])
-                          + cbh[...][0]).astype(jnp.float32))
+    rgb = jax.nn.sigmoid(
+        badd2(dot2(hcol, cwh[...]), cbh).astype(jnp.float32))
     emit([dens, nx, ny, nz,
           rgb[:, 0:1], rgb[:, 1:2], rgb[:, 2:3]])
 
@@ -817,6 +868,11 @@ def field_fused(xyz, geo, feat, w1, dens_ws, col_ws=None, dirs=None, *,
         return jnp.pad(jnp.swapaxes(a, 1, 2), ((0, 0), (0, 5), (0, 0)))
 
     xq = t8(xyz)
+    if dtype is not None:
+        # ship the feature table pre-cast to the serving dtype: the
+        # in-kernel blend then runs one bf16 MXU pass (see _feat_dot)
+        # and the table's VMEM/DMA footprint halves
+        feat = feat.astype(dtype)
     feat_t = jnp.swapaxes(feat, 1, 2)                # (B, F, C)
 
     dens_ws = tuple(dens_ws) if want != "distance" else ()
@@ -920,10 +976,7 @@ def _locate_kernel(w1_ref, od_ref, geo_ref, feat_ref, *refs,
         x1 = o1 + dv * r1
         x2 = o2 + dv * r2
         ds, W = _interp_distance(x0, x1, x2, geo, w1, k, False)
-        fg = jax.lax.dot_general(
-            W, feat_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision="highest")[:, :geometry_dim]
+        fg = _feat_dot(W, feat_ref[0])[:, :geometry_dim]
         dens, _ = _density_mlp(ds, fg, dens_ws, multires_d, multires_fg,
                                dtype, False)
         return dens - logit_tau
@@ -1028,6 +1081,8 @@ def surface_locate(rays_o, rays_d, near, far, geo, feat, w1, dens_ws, *,
                 near, far])
     w1_arr = jnp.full((1,), w1, jnp.float32)
     dens_ws = tuple(dens_ws)
+    if dtype is not None:
+        feat = feat.astype(dtype)  # see field_fused
     feat_t = jnp.swapaxes(feat, 1, 2)                  # (B, F, C)
 
     def const_spec(a):
@@ -1133,10 +1188,7 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
             sl = slice(g * T, (g + 1) * T)
             ds_g, W_g = _interp_distance(x0[sl], x1[sl], x2[sl],
                                          geo_ref[g], w1, k, False)
-            fg_g = jax.lax.dot_general(
-                W_g, feat_ref[g], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision="highest")[:, :geometry_dim]
+            fg_g = _feat_dot(W_g, feat_ref[g])[:, :geometry_dim]
             ds_parts.append(ds_g)
             fg_parts.append(fg_g)
         ds = ds_parts[0] if G == 1 else jnp.concatenate(ds_parts, axis=0)
@@ -1171,10 +1223,7 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
                                       False)
             ds = ds3.reshape(G * T, 1)
             fg = jnp.concatenate([
-                jax.lax.dot_general(
-                    W[g], feat_ref[g], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision="highest")[:, :geometry_dim]
+                _feat_dot(W[g], feat_ref[g])[:, :geometry_dim]
                 for g in range(G)], axis=0)
             f, _ = _density_mlp(ds, fg, dens_ws, multires_d,
                                 multires_fg, dtype, False)
@@ -1253,10 +1302,7 @@ def _secant_kernel(w1_ref, od_ref, br_ref, geo_ref, feat_ref, *refs,
                 W_C = masks[0] * W8[:, 0:1]
                 for r in range(1, k):
                     W_C = W_C + masks[r] * W8[:, r:r + 1]
-                fg_g = jax.lax.dot_general(
-                    W_C, feat_ref[g], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision="highest")[:, :geometry_dim]
+                fg_g = _feat_dot(W_C, feat_ref[g])[:, :geometry_dim]
                 ds_parts.append(ds_g)
                 fg_parts.append(fg_g)
             ds = (ds_parts[0] if G == 1
@@ -1348,6 +1394,8 @@ def secant_refine(rays_o, rays_d, d_low, d_high, f_low, f_high, geo, feat,
     br = rows8(br_cols)
     w1_arr = jnp.full((1,), w1, jnp.float32)
     dens_ws = tuple(dens_ws)
+    if dtype is not None:
+        feat = feat.astype(dtype)  # see field_fused
     feat_t = jnp.swapaxes(feat, 1, 2)                    # (B, F, C)
 
     def const_spec(a):

@@ -305,9 +305,16 @@ def _render_core(
     # (reference models/renderer.py:200-259); shapes grow 64->80->...->128
     # deterministically, so the loop is unrolled at trace time.
     def upsample(d_coarse):
+        # the whole loop runs under stop_gradient (sample PLACEMENT,
+        # reference models/renderer.py:200 no_grad): prefer the model's
+        # forward-only fast path when it has one (the fused f32 kernel —
+        # pinned == XLA — even when training keeps the differentiable
+        # XLA path for the final evals)
+        dens_fn = getattr(model, "forward_density_only_nograd",
+                          model.forward_density_only)
         _d = d_coarse
         _xyz = rays_o[..., None, :] + _d[..., None] * rays_d[..., None, :]
-        _sdf = model.forward_density_only(params, _xyz)
+        _sdf = dens_fn(params, _xyz)
         n_per_iter = N_importance // N_upsample_iters
         for i in range(N_upsample_iters):
             prev_sdf, next_sdf = _sdf[..., :-1], _sdf[..., 1:]
@@ -333,7 +340,7 @@ def _render_core(
 
             pts_fine = (rays_o[..., None, :]
                         + d_fine[..., None] * rays_d[..., None, :])
-            sdf_fine = model.forward_density_only(params, pts_fine)
+            sdf_fine = dens_fn(params, pts_fine)
             _sdf = jnp.concatenate([_sdf, sdf_fine], axis=-1)
             # multi-operand sort permutes the payload inside the sort —
             # argsort + take_along_axis gathers run at ~5 GB/s on TPU and
