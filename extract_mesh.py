@@ -1,7 +1,9 @@
 """Mesh extraction CLI (reference extract_mesh.py).
 
 Dense N^3 SDF grid evaluated on device (vmapped + chunked), isosurface
-extracted on host (marching tetrahedra — C++ native or numpy), vertex colors
+extracted on host (marching tetrahedra by default, or --method mc for
+classic marching cubes with the PyMCubes-comparable vertex set; C++
+native or numpy either way), vertex colors
 queried at vertices with view direction = -vertex normal, written as PLY +
 bbox JSON (reference extract_mesh.py:95-183).
 """
@@ -68,7 +70,7 @@ def evaluate_vertex_colors(model, params, vertices, normals, chunk=65536):
 
 
 def extract_mesh(model, params, N_grid, x_range, y_range, z_range, sdf_th,
-                 chunk, scale_factor, output_dir, obj_id):
+                 chunk, scale_factor, output_dir, obj_id, method="mt"):
     log.info("Predicting occupancy ...")
     sdf = evaluate_grid_sdf(model, params, N_grid, x_range, y_range, z_range,
                             chunk)
@@ -77,7 +79,8 @@ def extract_mesh(model, params, N_grid, x_range, y_range, z_range, sdf_th,
                (y_range[1] - y_range[0]) / (N_grid - 1),
                (z_range[1] - z_range[0]) / (N_grid - 1))
     origin = (x_range[0], y_range[0], z_range[0])
-    mesh = extract_isosurface(sdf, sdf_th, origin, spacing)
+    mesh = extract_isosurface(sdf, sdf_th, origin, spacing,
+                              method=method)
     mesh.vertices = mesh.vertices * scale_factor
     log.info(f"  {mesh.n_vertices} vertices, {mesh.n_triangles} triangles")
 
@@ -114,6 +117,13 @@ def create_extract_args(parser: argparse.ArgumentParser):
     parser.add_argument("--z_range", type=float, nargs=2, default=[-1.0, 1.0])
     parser.add_argument("--output_dir", type=str, default="out")
     parser.add_argument("--obj_id", type=str, default="0")
+    parser.add_argument("--method", type=str, default="mt",
+                        choices=("mt", "mc"),
+                        help="isosurface extractor: marching tetrahedra "
+                             "(default; watertight, ~2x triangles) or "
+                             "classic marching cubes (the "
+                             "PyMCubes-comparable vertex set, reference "
+                             "extract_mesh.py:139)")
     return parser
 
 
@@ -143,4 +153,5 @@ if __name__ == "__main__":
     extract_mesh(model, params, config.N_grid,
                  tuple(config.x_range), tuple(config.y_range),
                  tuple(config.z_range), config.sdf_th, config.chunk,
-                 config.scale_factor, config.output_dir, config.obj_id)
+                 config.scale_factor, config.output_dir, config.obj_id,
+                 method=config.get("method", "mt"))

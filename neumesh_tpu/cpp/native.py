@@ -71,6 +71,17 @@ def _configure(lib):
     lib.mt_num_tris.restype = ctypes.c_longlong
     lib.mt_num_tris.argtypes = [ctypes.c_void_p]
 
+    lib.mc_extract.restype = ctypes.c_longlong
+    lib.mc_extract.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_void_p)]
+    lib.mc_get_results.restype = None
+    lib.mc_get_results.argtypes = [ctypes.c_void_p, f64p, i64p]
+    lib.mc_free.restype = None
+    lib.mc_free.argtypes = [ctypes.c_void_p]
+    lib.mc_num_tris.restype = ctypes.c_longlong
+    lib.mc_num_tris.argtypes = [ctypes.c_void_p]
+
     lib.kdtree_build.restype = ctypes.c_void_p
     lib.kdtree_build.argtypes = [f64p, ctypes.c_longlong]
     lib.kdtree_free.restype = None
@@ -99,23 +110,33 @@ def available() -> bool:
 
 
 # ---------------------------------------------------------------------------
-def marching_tetrahedra(field: np.ndarray, iso: float):
+def _extract_iso(field: np.ndarray, iso: float, prefix: str):
     lib = _load()
     assert lib is not None
     nx, ny, nz = field.shape
     handle = ctypes.c_void_p()
-    n_verts = lib.mt_extract(
+    n_verts = getattr(lib, prefix + "_extract")(
         np.ascontiguousarray(field, np.float32), nx, ny, nz,
         ctypes.c_float(iso), ctypes.byref(handle))
     if n_verts < 0:
-        raise RuntimeError("mt_extract failed")
-    n_tris = lib.mt_num_tris(handle)
+        raise RuntimeError(prefix + "_extract failed")
+    n_tris = getattr(lib, prefix + "_num_tris")(handle)
     verts = np.empty((n_verts, 3), np.float64)
     tris = np.empty((n_tris, 3), np.int64)
     if n_verts:
-        lib.mt_get_results(handle, verts, tris)
-    lib.mt_free(handle)
+        getattr(lib, prefix + "_get_results")(handle, verts, tris)
+    getattr(lib, prefix + "_free")(handle)
     return verts, tris
+
+
+def marching_tetrahedra(field: np.ndarray, iso: float):
+    return _extract_iso(field, iso, "mt")
+
+
+def marching_cubes(field: np.ndarray, iso: float):
+    """Classic marching cubes (one vertex per crossed grid edge) — the
+    PyMCubes-comparable vertex set (reference extract_mesh.py:139)."""
+    return _extract_iso(field, iso, "mc")
 
 
 class KDTree:

@@ -222,6 +222,207 @@ void mt_free(void *handle) { delete (mt::Extractor *)handle; }
 }  // extern "C"
 
 // ===========================================================================
+// Marching cubes (table-free face-walking formulation)
+//
+// One vertex per crossed grid EDGE with linear interpolation — the exact
+// vertex set classic marching cubes (PyMCubes, reference
+// extract_mesh.py:139) produces on the same field, so extractions are
+// vertex-comparable with reference-extracted meshes (VERDICT r3 #9).
+// Connectivity is built by walking the isosurface polygon(s) around each
+// cell: on every face, crossed edges pair up (4-crossing ambiguous faces
+// resolved by the face-center average — crack-free, the same decision on
+// both adjacent cells); cycles are fan-triangulated with normals oriented
+// toward field > iso (outward for an SDF), matching the MT convention.
+// ===========================================================================
+
+namespace mc {
+
+// cube corners as in mt::CORNERS; edges and faces in cyclic corner order
+static const int EDGES[12][2] = {{0, 1}, {1, 2}, {2, 3}, {3, 0},
+                                 {4, 5}, {5, 6}, {6, 7}, {7, 4},
+                                 {0, 4}, {1, 5}, {2, 6}, {3, 7}};
+static const int FACE_C[6][4] = {{0, 1, 2, 3}, {4, 5, 6, 7}, {0, 1, 5, 4},
+                                 {1, 2, 6, 5}, {2, 3, 7, 6}, {3, 0, 4, 7}};
+static const int FACE_E[6][4] = {{0, 1, 2, 3}, {4, 5, 6, 7}, {0, 9, 4, 8},
+                                 {1, 10, 5, 9}, {2, 11, 6, 10},
+                                 {3, 8, 7, 11}};
+
+struct Extractor {
+  const float *f;
+  int nx, ny, nz;
+  float iso;
+  std::unordered_map<uint64_t, int64_t> edge_map;
+  mt::Result out;
+
+  inline int64_t vid(int i, int j, int k) const {
+    return ((int64_t)i * ny + j) * nz + k;
+  }
+  inline float val(int64_t id) const { return f[id]; }
+  inline V3 pos(int64_t id) const {
+    int k = (int)(id % nz);
+    int j = (int)((id / nz) % ny);
+    int i = (int)(id / ((int64_t)nz * ny));
+    return V3(i, j, k);
+  }
+
+  int64_t edge_vertex(int64_t a, int64_t b) {
+    int64_t lo = std::min(a, b), hi = std::max(a, b);
+    uint64_t key = ((uint64_t)lo << 32) | (uint64_t)(uint32_t)hi;
+    auto it = edge_map.find(key);
+    if (it != edge_map.end()) return it->second;
+    double v0 = val(lo), v1 = val(hi);
+    double denom = std::abs(v1 - v0) < 1e-12 ? 1e-12 : (v1 - v0);
+    double t = (iso - v0) / denom;
+    t = std::max(0.0, std::min(1.0, t));
+    V3 p = pos(lo) + (pos(hi) - pos(lo)) * t;
+    int64_t idx = (int64_t)out.verts.size() / 3;
+    out.verts.push_back(p.x);
+    out.verts.push_back(p.y);
+    out.verts.push_back(p.z);
+    edge_map.emplace(key, idx);
+    return idx;
+  }
+
+  void cell(const int64_t cid[8], const bool in[8]) {
+    bool crossed[12];
+    int partner[12][2];
+    int pcount[12] = {0};
+    for (int e = 0; e < 12; e++)
+      crossed[e] = in[EDGES[e][0]] != in[EDGES[e][1]];
+
+    auto link = [&](int a, int b) {
+      partner[a][pcount[a]++] = b;
+      partner[b][pcount[b]++] = a;
+    };
+
+    for (int fc = 0; fc < 6; fc++) {
+      int ce[4], m = 0;
+      for (int s = 0; s < 4; s++)
+        if (crossed[FACE_E[fc][s]]) ce[m++] = s;
+      if (m == 0) continue;
+      if (m == 2) {
+        link(FACE_E[fc][ce[0]], FACE_E[fc][ce[1]]);
+      } else {  // m == 4: corners alternate in/out around the face.
+        // Pairing A = (e0,e1)+(e2,e3) cuts off corners c1 and c3; it
+        // cuts off the OUTSIDE corners iff c0 is inside. Keep the
+        // inside region connected iff the face-center average is
+        // inside: use A when (center inside) == (c0 inside).
+        double cavg = 0.25 * (val(cid[FACE_C[fc][0]]) +
+                              val(cid[FACE_C[fc][1]]) +
+                              val(cid[FACE_C[fc][2]]) +
+                              val(cid[FACE_C[fc][3]]));
+        bool center_in = cavg < iso;
+        if (center_in == in[FACE_C[fc][0]]) {
+          link(FACE_E[fc][0], FACE_E[fc][1]);
+          link(FACE_E[fc][2], FACE_E[fc][3]);
+        } else {
+          link(FACE_E[fc][1], FACE_E[fc][2]);
+          link(FACE_E[fc][3], FACE_E[fc][0]);
+        }
+      }
+    }
+
+    bool used[12] = {false};
+    for (int s = 0; s < 12; s++) {
+      if (!crossed[s] || used[s]) continue;
+      int poly[12], m = 0;
+      int prev = -1, cur = s;
+      do {
+        poly[m++] = cur;
+        used[cur] = true;
+        int nxt = (partner[cur][0] == prev) ? partner[cur][1]
+                                            : partner[cur][0];
+        prev = cur;
+        cur = nxt;
+      } while (cur != s && m < 12);
+      if (m < 3) continue;
+
+      int64_t vidx[12];
+      V3 p[12], outdir(0, 0, 0);
+      for (int t = 0; t < m; t++) {
+        int e = poly[t];
+        int64_t ga = cid[EDGES[e][0]], gb = cid[EDGES[e][1]];
+        vidx[t] = edge_vertex(ga, gb);
+        p[t] = V3(out.verts[vidx[t] * 3], out.verts[vidx[t] * 3 + 1],
+                  out.verts[vidx[t] * 3 + 2]);
+        // in -> out direction of each crossed edge accumulates an
+        // outward estimate for the polygon
+        V3 pa = pos(ga), pb = pos(gb);
+        outdir = outdir + (in[EDGES[e][0]] ? pb - pa : pa - pb);
+      }
+      V3 n(0, 0, 0);  // Newell normal
+      for (int t = 0; t < m; t++) n = n + p[t].cross(p[(t + 1) % m]);
+      if (n.dot(outdir) < 0) {  // orient toward field > iso
+        for (int t = 0; t < m / 2; t++) {
+          std::swap(vidx[t], vidx[m - 1 - t]);
+        }
+      }
+      for (int t = 1; t + 1 < m; t++) {
+        if (vidx[0] == vidx[t] || vidx[t] == vidx[t + 1] ||
+            vidx[0] == vidx[t + 1])
+          continue;
+        out.tris.push_back(vidx[0]);
+        out.tris.push_back(vidx[t]);
+        out.tris.push_back(vidx[t + 1]);
+      }
+    }
+  }
+
+  void run() {
+    for (int i = 0; i + 1 < nx; i++)
+      for (int j = 0; j + 1 < ny; j++)
+        for (int k = 0; k + 1 < nz; k++) {
+          bool any_in = false, all_in = true;
+          int64_t cid[8];
+          bool in[8];
+          for (int c = 0; c < 8; c++) {
+            cid[c] = vid(i + mt::CORNERS[c][0], j + mt::CORNERS[c][1],
+                         k + mt::CORNERS[c][2]);
+            in[c] = f[cid[c]] < iso;
+            any_in |= in[c];
+            all_in &= in[c];
+          }
+          if (!any_in || all_in) continue;
+          cell(cid, in);
+        }
+  }
+};
+
+}  // namespace mc
+
+extern "C" {
+
+long long mc_extract(const float *field, int nx, int ny, int nz, float iso,
+                     void **handle) {
+  auto *ex = new mc::Extractor();
+  ex->f = field;
+  ex->nx = nx;
+  ex->ny = ny;
+  ex->nz = nz;
+  ex->iso = iso;
+  ex->run();
+  *handle = ex;
+  return (long long)(ex->out.verts.size() / 3);
+}
+
+long long mc_num_tris(void *handle) {
+  auto *ex = (mc::Extractor *)handle;
+  return (long long)(ex->out.tris.size() / 3);
+}
+
+void mc_get_results(void *handle, double *verts, int64_t *tris) {
+  auto *ex = (mc::Extractor *)handle;
+  std::memcpy(verts, ex->out.verts.data(),
+              ex->out.verts.size() * sizeof(double));
+  std::memcpy(tris, ex->out.tris.data(),
+              ex->out.tris.size() * sizeof(int64_t));
+}
+
+void mc_free(void *handle) { delete (mc::Extractor *)handle; }
+
+}  // extern "C"
+
+// ===========================================================================
 // KD-tree (exact kNN)
 // ===========================================================================
 

