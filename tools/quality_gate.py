@@ -167,7 +167,7 @@ def main():
                          "Applied to volume_bf16 ONLY — volume_f32 keeps "
                          "the reference structure, so the gated delta "
                          "includes the structural approximation")
-    ap.add_argument("--volume-n-fine", type=int, default=48,
+    ap.add_argument("--volume-n-fine", type=int, default=32,
                     help="samples per ray of the root-anchored volume "
                          "serving path")
     ap.add_argument("--volume-root-steps", type=int, default=16,
@@ -177,7 +177,7 @@ def main():
     ap.add_argument("--volume-win-frac", type=float, default=0.5,
                     help="fraction of root-anchored samples in the dense "
                          "window around the root")
-    ap.add_argument("--volume-topk", type=int, default=16,
+    ap.add_argument("--volume-topk", type=int, default=8,
                     help="color_topk of the volume serving config")
     ap.add_argument("--eval-candidates", type=int, default=0,
                     help="nearest-prefix candidate budget of the fused "
@@ -406,8 +406,7 @@ def main():
         results["volume_root_steps"] = args.volume_root_steps
         results["volume_root_secant"] = args.volume_root_secant
         results["volume_win_frac"] = args.volume_win_frac
-    if args.volume_topk != 16:
-        results["volume_topk"] = args.volume_topk
+    results["volume_topk"] = args.volume_topk
     if args.eval_candidates:
         results["eval_candidates"] = args.eval_candidates
 
