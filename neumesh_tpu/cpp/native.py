@@ -114,6 +114,13 @@ def _extract_iso(field: np.ndarray, iso: float, prefix: str):
     lib = _load()
     assert lib is not None
     nx, ny, nz = field.shape
+    # the C++ extractors dedup crossed edges with a (lo<<32)|hi packed key
+    # (host_lib.cpp) — silently corrupt once the grid has >= 2^32 vertices
+    # (ADVICE r4: fail loudly instead)
+    if nx * ny * nz >= 2**32:
+        raise ValueError(
+            f"{prefix}_extract: grid {nx}x{ny}x{nz} has >= 2^32 vertices; "
+            "the packed edge-dedup key would collide (split the grid)")
     handle = ctypes.c_void_p()
     n_verts = getattr(lib, prefix + "_extract")(
         np.ascontiguousarray(field, np.float32), nx, ny, nz,

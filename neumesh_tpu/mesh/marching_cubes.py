@@ -109,6 +109,13 @@ def marching_tetrahedra(
     (vertices (V, 3) in grid-index coordinates, triangles (M, 3)) with
     triangle normals oriented toward field > iso."""
     nx, ny, nz = field.shape
+    # edge-dedup key is lo * (nx*ny*nz) + hi — overflows int64 once
+    # (nx*ny*nz)^2 >= 2^63 (ADVICE r4: fail loudly instead of corrupting
+    # the vertex dedup)
+    if (nx * ny * nz) ** 2 >= 2**63:
+        raise ValueError(
+            f"grid {nx}x{ny}x{nz} too large for the int64 edge-dedup key "
+            "(nx*ny*nz must be < ~3.04e9); split the grid")
     inside_grid = field < iso
 
     # active cells: mixed-sign corners
@@ -292,6 +299,13 @@ def marching_cubes(
     vertex convention as PyMCubes' marching_cubes (reference
     extract_mesh.py:139)."""
     nx, ny, nz = field.shape
+    # edge-dedup key is lo * (nx*ny*nz) + hi — overflows int64 once
+    # (nx*ny*nz)^2 >= 2^63 (ADVICE r4: fail loudly instead of corrupting
+    # the vertex dedup)
+    if (nx * ny * nz) ** 2 >= 2**63:
+        raise ValueError(
+            f"grid {nx}x{ny}x{nz} too large for the int64 edge-dedup key "
+            "(nx*ny*nz must be < ~3.04e9); split the grid")
     inside_grid = field < iso
 
     c = inside_grid

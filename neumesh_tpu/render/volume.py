@@ -67,8 +67,10 @@ def root_anchored_depths(near, far, d_root, mask, N_fine: int,
 
     near/far: (R, 1); d_root/mask: (R,) from root finding. `window` is the
     half-width of the dense middle segment (scalar, may be traced).
-    Rays without a root (mask=False) degrade to uniform sampling over
-    [near, far] (the reference's coarse pass). Returns (R, N_fine)."""
+    Rays without a root (mask=False) get ALL N_fine samples uniformly over
+    [near, far] (the reference's coarse pass at full budget — ADVICE r4:
+    the previous three-segment degradation collapsed half the budget into
+    duplicates at the endpoints). Returns (R, N_fine)."""
     near0 = near[..., 0]
     far0 = far[..., 0]
     half = 0.5 * (far0 - near0)
@@ -91,7 +93,10 @@ def root_anchored_depths(near, far, d_root, mask, N_fine: int,
         jnp.arange(n_win, dtype=jnp.float32) / n_win)
     t_hi = hi[..., None] + (far0 - hi)[..., None] * (
         jnp.linspace(0.0, 1.0, n_hi))
-    return jnp.concatenate([t_lo, t_win, t_hi], axis=-1)
+    d_anchor = jnp.concatenate([t_lo, t_win, t_hi], axis=-1)
+    d_unif = near0[..., None] + (far0 - near0)[..., None] * (
+        jnp.linspace(0.0, 1.0, N_fine))
+    return jnp.where(mask[..., None], d_anchor, d_unif)
 
 
 def volume_render_rays(
@@ -158,8 +163,16 @@ def volume_render_rays(
                 far = jnp.full_like(far, far_bypass)
 
             d_all_override = None
-            if (root_anchored and rays_o.ndim == 2 and not calc_normal
-                    and not random_color_direction):
+            if root_anchored and (rays_o.ndim != 2 or calc_normal
+                                  or random_color_direction):
+                # refuse to silently render a different sampling
+                # structure than the caller asked for (ADVICE r4)
+                raise ValueError(
+                    "root_anchored volume serving requires flat (R, 3) "
+                    "rays and calc_normal=random_color_direction=False; "
+                    "got ndim=%d calc_normal=%s random_color_direction=%s"
+                    % (rays_o.ndim, calc_normal, random_color_direction))
+            if root_anchored:
                 # root-anchored serving: locate the first density
                 # crossing with the surface machinery (proxy scan +
                 # fused secant), then place root_n_fine samples
@@ -218,6 +231,17 @@ def volume_render_rays(
                 phi_s_base=phi_s_base,
                 reuse_upsample_sdf=reuse_upsample_sdf,
                 color_topk=color_topk, d_all_override=d_all_override)
+
+    if root_anchored:
+        # the tiled candidate binding was unavailable (ray_tile<=1, model
+        # without bind_rays_tiled, or the bind returned None) — the
+        # hierarchical fallback is a DIFFERENT sampling structure, so
+        # fail loudly instead of reporting its numbers as root-anchored
+        # (ADVICE r4)
+        raise ValueError(
+            "root_anchored volume serving requires the tiled candidate "
+            "binding (ray_tile > 1 on a model with bind_rays_tiled); "
+            f"ray_tile={ray_tile}, can_bind={can_bind}")
 
     if bounded_near_far and hasattr(model, "compute_distance"):
         pre_ctx = None
