@@ -1,5 +1,7 @@
 """SLURM multi-host bootstrap synthesis (reference utils/dist_util.py:49-77:
 slurm_initialize builds MASTER_ADDR/RANK/WORLD_SIZE from SLURM_* vars)."""
+import pytest
+
 from neumesh_tpu.parallel.dist import (first_slurm_node,
                                        slurm_coordinator_spec)
 
@@ -110,35 +112,7 @@ print(f"RANK{jax.process_index()} OK total={total}")
         assert f"RANK{rank} OK total=3.0" in out, out[-2000:]
 
 
-def test_live_two_process_train_step_matches_concatenated_batch(tmp_path):
-    """VERDICT r3 #2 done-criterion: one full NeuMesh training update
-    across 2 live processes (global-batch assembly via
-    make_array_from_process_local_data, grads psum'd by GSPMD) must
-    produce the SAME parameters as a single-process update on the
-    concatenated 2-image batch (the reference's DDP semantics,
-    train.py:244-252,326-332). Both runs go through the real
-    main_function loop."""
-    import json
-    import os
-    import subprocess
-    import sys
-
-    import numpy as np
-    import pytest
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    # ---- shared scene + prior mesh, prepared once
-    from neumesh_tpu.dataio.synthetic import generate_sphere_scene, \
-        icosphere_mesh
-    scene = tmp_path / "scene"
-    generate_sphere_scene(str(scene), n_views=4, H=20, W=20)
-    from neumesh_tpu.mesh.triangle_mesh import save_ply
-    mesh = icosphere_mesh(radius=0.5, subdivisions=2)
-    mesh_path = tmp_path / "prior.ply"
-    save_ply(mesh, str(mesh_path))
-
-    worker = r"""
+_WORKER = r"""
 import os, sys, json
 sys.path.insert(0, os.environ["NEUMESH_REPO"])
 import numpy as np
@@ -188,53 +162,122 @@ if dist.is_master():
     print("TRAIN_OK", len(leaves))
 """
 
-    def run(n_procs, batch_size, out, logs, port):
-        procs = []
-        for rank in range(n_procs):
-            env = {**os.environ,
-                   "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu",
-                   "NEUMESH_REPO": repo, "NM_SCENE": str(scene),
-                   "NM_MESH": str(mesh_path), "NM_OUT": str(out),
-                   "NM_LOGS": str(logs), "NM_BATCH": str(batch_size)}
-            env.pop("XLA_FLAGS", None)
-            if n_procs > 1:
-                env.update({"SLURM_PROCID": str(rank),
-                            "SLURM_NTASKS": str(n_procs),
-                            "SLURM_NODELIST": "localhost",
-                            "MASTER_PORT": str(port)})
-            else:
-                for k in ("SLURM_PROCID", "SLURM_NTASKS",
-                          "SLURM_NODELIST", "MASTER_PORT"):
-                    env.pop(k, None)
-            procs.append(subprocess.Popen(
-                [sys.executable, "-c", worker], env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True))
-        outs = []
-        try:
-            for p in procs:
-                o, _ = p.communicate(timeout=420)
-                outs.append(o)
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                p.kill()
-            pytest.fail("train-step worker timed out:\n" + "\n".join(outs))
-        for rank, (p, o) in enumerate(zip(procs, outs)):
-            assert p.returncode == 0, f"rank {rank} failed:\n{o[-3000:]}"
-        assert "TRAIN_OK" in outs[0], outs[0][-2000:]
 
-    out_dp = tmp_path / "params_dp.npz"
-    out_single = tmp_path / "params_single.npz"
-    # 2 processes x batch_size 1 (one update: it += 2, num_iters=2)
-    run(2, 1, out_dp, tmp_path / "logs_dp", port=17773)
+def _run_dp_train(scene, mesh_path, n_procs, batch_size, out, logs, port,
+                  local_devices=1):
+    """Launch n_procs live worker processes through the real main_function
+    loop; `local_devices` > 1 additionally forces that many virtual CPU
+    devices PER PROCESS (xla_force_host_platform_device_count), so the 2-D
+    ('batch' x 'data') global mesh has both axes > 1 — the real multi-host
+    TPU topology (VERDICT r4 #5)."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for rank in range(n_procs):
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu",
+               "NEUMESH_REPO": repo, "NM_SCENE": str(scene),
+               "NM_MESH": str(mesh_path), "NM_OUT": str(out),
+               "NM_LOGS": str(logs), "NM_BATCH": str(batch_size)}
+        env.pop("XLA_FLAGS", None)
+        if local_devices > 1:
+            env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                                f"{local_devices}")
+        if n_procs > 1:
+            env.update({"SLURM_PROCID": str(rank),
+                        "SLURM_NTASKS": str(n_procs),
+                        "SLURM_NODELIST": "localhost",
+                        "MASTER_PORT": str(port)})
+        else:
+            for k in ("SLURM_PROCID", "SLURM_NTASKS",
+                      "SLURM_NODELIST", "MASTER_PORT"):
+                env.pop(k, None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=420)
+            outs.append(o)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("train-step worker timed out:\n" + "\n".join(outs))
+    for rank, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{o[-3000:]}"
+    assert "TRAIN_OK" in outs[0], outs[0][-2000:]
+
+
+@pytest.fixture(scope="module")
+def dp_scene(tmp_path_factory):
+    """Shared scene + prior mesh + the single-process concatenated-batch
+    reference parameters (run once for both DP-equivalence tests)."""
+    from neumesh_tpu.dataio.synthetic import generate_sphere_scene, \
+        icosphere_mesh
+    from neumesh_tpu.mesh.triangle_mesh import save_ply
+
+    root = tmp_path_factory.mktemp("dp")
+    scene = root / "scene"
+    generate_sphere_scene(str(scene), n_views=4, H=20, W=20)
+    mesh = icosphere_mesh(radius=0.5, subdivisions=2)
+    mesh_path = root / "prior.ply"
+    save_ply(mesh, str(mesh_path))
+    out_single = root / "params_single.npz"
     # 1 process x batch_size 2 = the concatenated batch (one update)
-    run(1, 2, out_single, tmp_path / "logs_single", port=0)
+    _run_dp_train(scene, mesh_path, 1, 2, out_single,
+                  root / "logs_single", port=0)
+    return {"root": root, "scene": scene, "mesh_path": mesh_path,
+            "out_single": out_single}
 
-    a = np.load(out_dp)
-    b = np.load(out_single)
+
+def _assert_params_match(out_a, out_b, what):
+    import numpy as np
+    a = np.load(out_a)
+    b = np.load(out_b)
     assert set(a.files) == set(b.files) and len(a.files) > 0
     for k in a.files:
         np.testing.assert_allclose(
             a[k], b[k], rtol=2e-5, atol=2e-6,
-            err_msg=f"leaf {k} diverged between 2-process DP and "
+            err_msg=f"leaf {k} diverged between {what} and "
                     f"single-process concatenated-batch training")
+
+
+def test_live_two_process_train_step_matches_concatenated_batch(dp_scene):
+    """VERDICT r3 #2 done-criterion: one full NeuMesh training update
+    across 2 live processes (global-batch assembly via
+    make_array_from_process_local_data, grads psum'd by GSPMD) must
+    produce the SAME parameters as a single-process update on the
+    concatenated 2-image batch (the reference's DDP semantics,
+    train.py:244-252,326-332). Both runs go through the real
+    main_function loop."""
+    out_dp = dp_scene["root"] / "params_dp.npz"
+    # 2 processes x batch_size 1 (one update: it += 2, num_iters=2)
+    _run_dp_train(dp_scene["scene"], dp_scene["mesh_path"], 2, 1, out_dp,
+                  dp_scene["root"] / "logs_dp", port=17773)
+    _assert_params_match(out_dp, dp_scene["out_single"], "2-process DP")
+
+
+def test_live_two_process_two_local_devices_matches_concatenated_batch(
+        dp_scene):
+    """VERDICT r4 #5: the REAL multi-host topology — n processes x m local
+    devices — with BOTH axes of the 2-D ('batch', 'data') global mesh
+    sharded simultaneously: the global batch shards over 'batch'
+    (process axis) while each image's rays shard over the 2 virtual local
+    devices ('data'). One full training update must still equal the
+    single-process concatenated-batch update (the reference composes DDP
+    across processes with nn.DataParallel over rays within a process,
+    train.py:244-252 + models/trainer.py:39-42)."""
+    out_dp22 = dp_scene["root"] / "params_dp22.npz"
+    # 2 processes x 2 virtual devices each x batch_size 1
+    _run_dp_train(dp_scene["scene"], dp_scene["mesh_path"], 2, 1, out_dp22,
+                  dp_scene["root"] / "logs_dp22", port=17775,
+                  local_devices=2)
+    _assert_params_match(out_dp22, dp_scene["out_single"],
+                         "2-process x 2-local-device DP")
