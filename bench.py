@@ -50,8 +50,8 @@ def main():
 
     from neumesh_tpu.ops.rays import block_order_indices
     from neumesh_tpu.parallel.mesh import (get_device_mesh,
-                                           sharded_surface_render)
-    from neumesh_tpu.render.volume import volume_render_rays
+                                           sharded_surface_render,
+                                           sharded_volume_render)
 
     n_dev = jax.local_device_count()
     dev_mesh = get_device_mesh(n_dev) if n_dev > 1 else None
@@ -76,17 +76,18 @@ def main():
 
         bufs = mg.device_buffers()
         render_surface(params, o_s, d_s, bufs).block_until_ready()
-        best = 0.0
-        # best-of-3: the tunnel/TPU shows occasional ~12% dips between
+        # 3 reps: the tunnel/TPU shows occasional ~12% dips between
         # otherwise bit-identical repetitions; max-over-reps reports the
-        # hardware's rate, not the interference
+        # hardware's rate, median/min make round-over-round movement
+        # attributable to noise vs regression (VERDICT r4 #7)
+        reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = render_surface(params, o_s, d_s, bufs)
             out.block_until_ready()
-            best = max(best, n_rays * iters / (time.perf_counter() - t0) / 1e6)
-        return best
+            reps.append(n_rays * iters / (time.perf_counter() - t0) / 1e6)
+        return max(reps), sorted(reps)[len(reps) // 2], min(reps)
 
     # the quality-gated serving configuration (tools/quality_gate.py at
     # these defaults: serving within 0.1 dB of the f32 surface parity
@@ -112,15 +113,15 @@ def main():
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate
     # caches need compact ray bundles)
     model7, params7 = build(use_pallas=True, subdivisions=7, **SERVING)
-    surf_mrays = bench_surface(model7, params7, 65536, tile=128,
-                               max_cand=128)
+    surf_mrays, surf_med, surf_min = bench_surface(
+        model7, params7, 65536, tile=128, max_cand=128)
     n_vertices = model7.num_vertices
 
     # ---- secondary: the 10k-vertex scaffold (round-over-round
     # comparability with BENCH_r02)
     model5, params5 = build(use_pallas=True, subdivisions=5, **SERVING)
-    surf_mrays_10k = bench_surface(model5, params5, 65536, tile=128,
-                                   max_cand=128)
+    surf_mrays_10k, _, _ = bench_surface(model5, params5, 65536, tile=128,
+                                         max_cand=128)
 
     # ---- secondary: shard-path overhead on one chip (VERDICT r3 #6):
     # the explicit shard_map on a 1-device mesh vs the direct program at
@@ -183,11 +184,15 @@ def main():
     o_v, d_v = o_v[perm_v], d_v[perm_v]
     mg7 = model7v.mesh_grid
 
+    # multi-chip: the volume path shard_maps over all local devices like
+    # the surface paths (parallel/mesh.py::sharded_volume_render;
+    # VERDICT r4 #2) — mesh=None falls back to the direct program
     @jax.jit
     def render_volume(params, o, d, mesh_bufs):
         with mg7.bound_buffers(mesh_bufs):
-            ret = volume_render_rays(
+            ret = sharded_volume_render(
                 model7v, params, o, d, jax.random.PRNGKey(0),
+                mesh=dev_mesh,
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64,
@@ -197,14 +202,15 @@ def main():
     bufs7 = mg7.device_buffers()
     render_volume(params7v, o_v, d_v, bufs7).block_until_ready()
     iters = 10
-    vol_mrays = 0.0
+    vol_reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = render_volume(params7v, o_v, d_v, bufs7)
         out.block_until_ready()
-        vol_mrays = max(vol_mrays,
-                        n_vol * iters / (time.perf_counter() - t0) / 1e6)
+        vol_reps.append(n_vol * iters / (time.perf_counter() - t0) / 1e6)
+    vol_mrays = max(vol_reps)
+    vol_med = sorted(vol_reps)[len(vol_reps) // 2]
 
     # ---- secondary: training-step throughput at the reference schedule
     # shape (VERDICT r3 #5): 512 rays, 64+4x16 samples, full teacher
@@ -217,8 +223,11 @@ def main():
         "value": round(surf_mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(surf_mrays / 20.0, 4),
+        "surface_mrays_med": round(surf_med, 4),
+        "surface_mrays_min": round(surf_min, 4),
         "surface_mrays_10k": round(surf_mrays_10k, 4),
         "volume_mrays": round(vol_mrays, 4),
+        "volume_mrays_med": round(vol_med, 4),
         "volume_vs_baseline": round(vol_mrays / 20.0, 4),
         "train_iters_per_s": train["train_iters_per_s"],
         "train_ms_per_iter": train["ms_per_iter"],

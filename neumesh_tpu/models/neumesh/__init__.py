@@ -73,6 +73,13 @@ def get_model(args, key=None):
             "secant_full_precision", True),
         "tile_cell_budget": model_args.get("tile_cell_budget", 0),
         "secant_rebracket": model_args.get("secant_rebracket", True),
+        "secant_tiles_per_program": model_args.get(
+            "secant_tiles_per_program", 1),
+        "secant_frozen_knn": model_args.get("secant_frozen_knn", False),
+        # volume-serving candidate budget for the fused sample evals
+        # (VERDICT r4 #6: a config key like every other knob, so the
+        # bench/gate lockstep test sees it)
+        "eval_candidates": model_args.get("eval_candidates", 0),
     }
     cdt = model_args.get("compute_dtype", None)
     if cdt in ("bfloat16", "bf16"):

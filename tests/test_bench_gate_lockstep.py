@@ -53,7 +53,11 @@ def test_volume_serving_config_matches_gate_defaults():
     assert vol["root_steps"] == gate["volume_root_steps"]
     assert vol["root_secant"] == gate["volume_root_secant"]
     assert vol["color_topk"] == gate["volume_topk"]
-    assert vol["root_anchored"] is True
+    # the STRUCTURAL flag, not just the numeric knobs (ADVICE r4): the
+    # gate's default run must score the same sampling structure bench.py
+    # times
+    assert vol["root_anchored"] is bool(gate["volume_root_anchored"])
+    assert vol.get("eval_candidates", 0) == gate["eval_candidates"]
 
 
 def test_surface_serving_config_matches_gate_defaults():
@@ -63,3 +67,7 @@ def test_surface_serving_config_matches_gate_defaults():
     assert serving["scan_knn_k"] == gate["scan_knn_k"]
     assert serving["tile_cell_budget"] == gate["tile_cell_budget"]
     assert serving["tile_kp_per_probe"] == gate["serving_kp"]
+    assert serving["secant_tiles_per_program"] == \
+        gate["secant_tiles_per_program"]
+    # store_true flag: gate serving default is False unless passed
+    assert serving["secant_full_precision"] is False

@@ -107,7 +107,15 @@ def neumesh_config(workdir, iters, mesh_path, neus_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
-    ap.add_argument("--workdir", default="/tmp/qgate")
+    ap.add_argument("--workdir", default=None,
+                    help="default /tmp/qgate (sphere) / "
+                         "/tmp/qgate_<scene> otherwise")
+    ap.add_argument("--scene", default="sphere",
+                    choices=["sphere", "torus"],
+                    help="gate scene: 'sphere' (convex, single-crossing) "
+                         "or 'torus' (torus + offset sphere: "
+                         "multi-crossing, self-occluding — VERDICT r4 #1; "
+                         "every serving gate must pass on BOTH)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in workdir")
     ap.add_argument("--secant-full-precision", action="store_true",
@@ -159,8 +167,11 @@ def main():
                     help="nearest-prefix candidate budget for scan + "
                          "secant (NeuMesh.scan_candidates; 0 = full). "
                          "Applied to serving AND the f32 anchor")
-    ap.add_argument("--volume-root-anchored", action="store_true",
-                    help="root-anchored volume serving: locate the first "
+    ap.add_argument("--volume-root-anchored", type=int, default=1,
+                    help="root-anchored volume serving (1 = on, the "
+                         "bench.py VOL default — ADVICE r4: the gate "
+                         "default must score the structure bench.py "
+                         "times; 0 = hierarchical): locate the first "
                          "density crossing (proxy scan + fused secant) "
                          "and place --volume-n-fine concentrated samples "
                          "instead of the 64+4x16 hierarchical structure. "
@@ -184,13 +195,20 @@ def main():
                          "density/color sample evals "
                          "(NeuMesh.eval_candidates; 0 = full set). "
                          "Applied to the volume serving config only")
+    ap.add_argument("--secant-tiles-per-program", type=int, default=4,
+                    help="tiles batched per fused-secant program "
+                         "(NeuMesh.secant_tiles_per_program; row-exact — "
+                         "grouped == ungrouped — carried so the gate "
+                         "config IS the bench config)")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
                          "baked into the jitted train step; the remote "
                          "compile helper caps program uploads)")
     args = ap.parse_args()
-    workdir = args.workdir
+    workdir = args.workdir or (
+        "/tmp/qgate" if args.scene == "sphere"
+        else f"/tmp/qgate_{args.scene}")
 
     import jax
     cache_dir = os.path.expanduser("~/.cache/neumesh_tpu_jax")
@@ -200,7 +218,8 @@ def main():
     import jax.numpy as jnp
 
     from neumesh_tpu.dataio import get_data
-    from neumesh_tpu.dataio.synthetic import generate_sphere_scene
+    from neumesh_tpu.dataio.synthetic import (generate_sphere_scene,
+                                              generate_torus_scene)
     from neumesh_tpu.models import build_framework
     from neumesh_tpu.ops.metrics import psnr as psnr_fn
     from neumesh_tpu.ops.rays import get_rays
@@ -208,8 +227,10 @@ def main():
 
     scene = os.path.join(workdir, "scene")
     if not os.path.exists(os.path.join(scene, "cameras.npz")):
-        print("=> generating scene (20 views, 128x128)")
-        generate_sphere_scene(scene, n_views=20, H=128, W=128, focal=160.0)
+        print(f"=> generating {args.scene} scene (20 views, 128x128)")
+        gen = (generate_sphere_scene if args.scene == "sphere"
+               else generate_torus_scene)
+        gen(scene, n_views=20, H=128, W=128, focal=160.0)
 
     neus_dir = os.path.join(workdir, "logs", "qgate_neus")
     mesh_path = os.path.join(workdir, "mesh", "extracted_0.ply")
@@ -250,8 +271,12 @@ def main():
 
     renders = {}
 
+    from neumesh_tpu.ops.lpips import load_lpips_weights, lpips as lpips_fn
+    from neumesh_tpu.ops.metrics import ssim as ssim_fn
+    lpips_w = load_lpips_weights()
+
     def eval_renders(render_one, tag):
-        psnrs = []
+        psnrs, ssims, lpipss = [], [], []
         imgs = []
         ds = get_data(mcfg, downscale=1)
         for vi in views:
@@ -261,12 +286,24 @@ def main():
                                  ds.H, ds.W)
             rgb = render_one(ro, rd)
             imgs.append(np.asarray(rgb))
-            p = float(psnr_fn(jnp.asarray(rgb),
-                              jnp.asarray(np.asarray(gt["rgb"]))))
+            gt_rgb = np.asarray(gt["rgb"])
+            p = float(psnr_fn(jnp.asarray(rgb), jnp.asarray(gt_rgb)))
             psnrs.append(p)
+            pred_hw = np.asarray(rgb).reshape(ds.H, ds.W, 3)
+            gt_hw = gt_rgb.reshape(ds.H, ds.W, 3)
+            ssims.append(float(ssim_fn(
+                jnp.asarray(pred_hw.transpose(2, 0, 1)),
+                jnp.asarray(gt_hw.transpose(2, 0, 1)))))
+            if lpips_w is not None:
+                lpipss.append(float(np.asarray(
+                    lpips_fn(lpips_w, pred_hw, gt_hw))))
         renders[tag] = imgs
         results[tag] = round(float(np.mean(psnrs)), 3)
+        results[tag + "_ssim"] = round(float(np.mean(ssims)), 4)
+        if lpipss:
+            results[tag + "_lpips"] = round(float(np.mean(lpipss)), 4)
         print(f"{tag}: mean PSNR {results[tag]:.2f} dB "
+              f"SSIM {results[tag + '_ssim']:.4f} "
               f"({[round(p, 2) for p in psnrs]})")
 
     def image_vs_image(tag_a, tag_b):
@@ -279,7 +316,12 @@ def main():
     from neumesh_tpu.render.ray_casting import surface_render
     from neumesh_tpu.render.volume import volume_render_rays
 
-    def make_model(use_pallas, dtype, f32_layers=(), kp=12):
+    def make_model(use_pallas, dtype, f32_layers=(), kp=12,
+                   eval_candidates=0, serving=False):
+        """All knobs flow through the config dict (VERDICT r4 #6: no
+        object mutation after build — the lockstep test parses configs
+        statically, and a mutated attribute can silently diverge between
+        gate and bench)."""
         cfg = neumesh_config(workdir, args.iters, mesh_path, neus_dir)
         cfg.model["use_pallas"] = use_pallas
         if use_pallas:
@@ -294,10 +336,14 @@ def main():
                 cfg.model["tile_cell_budget"] = args.tile_cell_budget
             if args.no_secant_rebracket:
                 cfg.model["secant_rebracket"] = False
-            # bench.py serving default; row-exact grouping (grouped ==
-            # ungrouped), carried here so the gate config IS the bench
-            # config
-            cfg.model["secant_tiles_per_program"] = 4
+            cfg.model["secant_tiles_per_program"] = \
+                args.secant_tiles_per_program
+            if eval_candidates:
+                cfg.model["eval_candidates"] = eval_candidates
+        if serving:
+            cfg.model["secant_full_precision"] = \
+                bool(args.secant_full_precision)
+            cfg.model["secant_frozen_knn"] = bool(args.secant_frozen_knn)
         if dtype == "bf16":
             cfg.model["compute_dtype"] = "bfloat16"
         if f32_layers:
@@ -359,12 +405,11 @@ def main():
     eval_renders(volume_one(m32, p32), "volume_f32")
     # the volume SERVING config (bench.py volume_mrays): bf16 fused
     # kernels, tile=64 contexts over 8x8 pixel blocks
-    m16, p16 = make_model(True, "bf16")
-    if args.eval_candidates:
-        m16.eval_candidates = args.eval_candidates
+    m16, p16 = make_model(True, "bf16",
+                          eval_candidates=args.eval_candidates)
     eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
                             color_topk=args.volume_topk,
-                            root_anchored=args.volume_root_anchored),
+                            root_anchored=bool(args.volume_root_anchored)),
                  "volume_bf16")
     # surface-mode parity anchor: the f32 fused-kernel surface render at
     # the SAME structural config (steps/secant/kp) as the serving mode —
@@ -379,9 +424,7 @@ def main():
     # the BENCHMARKED serving config: bf16 + selective-f32 layers,
     # low-precision secant unless --secant-full-precision
     msrv, psrv = make_model(True, "bf16", serving_f32_layers,
-                            kp=args.serving_kp)
-    msrv.secant_full_precision = bool(args.secant_full_precision)
-    msrv.secant_frozen_knn = bool(args.secant_frozen_knn)
+                            kp=args.serving_kp, serving=True)
     eval_renders(surface_one(msrv, psrv, steps=args.surface_steps,
                              secant=args.surface_secant), "surface_fast")
     results["surface_steps"] = args.surface_steps
@@ -400,6 +443,9 @@ def main():
     if args.secant_frozen_knn:
         results["secant_frozen_knn"] = True
 
+    results["scene"] = args.scene
+    if args.secant_tiles_per_program != 1:
+        results["secant_tiles_per_program"] = args.secant_tiles_per_program
     if args.volume_root_anchored:
         results["volume_root_anchored"] = True
         results["volume_n_fine"] = args.volume_n_fine
