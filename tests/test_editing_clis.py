@@ -61,6 +61,21 @@ def test_render_cli(example_scene, tmp_path, cli, config):
     assert outs, f"{cli} produced no rgb output in {tmp_path}"
 
 
+def test_editing_gate_smoke(example_scene, tmp_path):
+    """tools/editing_gate.py (VERDICT r4 #8) runs the full swap flow +
+    region-scored render end-to-end; on the barely-trained example scene
+    only the no-leak gate is meaningful (color codes are near-uniform, so
+    the swapped region barely changes — the swapped-differs gate is pinned
+    on the TPU-trained artifact in test_gate_artifacts.py)."""
+    out = tmp_path / "editing_gate.json"
+    _run([sys.executable, "tools/editing_gate.py",
+          "--config", "examples/scene/neumesh/config.yaml",
+          "--out", str(out)], timeout=900)
+    g = json.loads(out.read_text())
+    assert g["gate_edit_untouched"] is True, g
+    assert g["swapped_edit_vs_orig_db"] < 60.0  # the blend path executed
+
+
 def test_paint_cli(example_scene, tmp_path):
     # a short-iteration copy of the checked-in paint config
     with open(os.path.join(REPO, "configs/editing/paint_sphere.json")) as f:

@@ -118,6 +118,14 @@ def main():
                          "every serving gate must pass on BOTH)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse checkpoints already in workdir")
+    ap.add_argument("--modes",
+                    default="volume_f32,volume_bf16,surface_f32,"
+                            "surface_fast",
+                    help="which configurations to (re-)render; omitted "
+                         "ones carry their scores forward from the "
+                         "workdir's existing quality_gate.json (fast "
+                         "knob-sweep iteration — a FULL default run is "
+                         "still required for the committed artifact)")
     ap.add_argument("--secant-full-precision", action="store_true",
                     help="keep the f32_layers overrides inside the "
                          "secant refinement (serving default drops "
@@ -306,9 +314,12 @@ def main():
               f"SSIM {results[tag + '_ssim']:.4f} "
               f"({[round(p, 2) for p in psnrs]})")
 
-    def image_vs_image(tag_a, tag_b):
+    def image_vs_image(tag_a, tag_b, carry_key=None):
         """Mean PSNR of tag_a's renders against tag_b's renders
-        (image-vs-image, not vs GT — VERDICT r3 #3)."""
+        (image-vs-image, not vs GT — VERDICT r3 #3). When either side
+        was skipped via --modes, the previous JSON's value carries."""
+        if tag_a not in renders or tag_b not in renders:
+            return prev.get(carry_key)
         ps = [float(psnr_fn(jnp.asarray(a), jnp.asarray(b)))
               for a, b in zip(renders[tag_a], renders[tag_b])]
         return round(float(np.mean(ps)), 3)
@@ -401,16 +412,39 @@ def main():
     serving_f32_layers = tuple(
         t for t in (args.f32_layers or "").split(",") if t)
 
-    m32, p32 = make_model(False, "f32")
-    eval_renders(volume_one(m32, p32), "volume_f32")
+    modes = set(args.modes.split(","))
+    prev = {}
+    prev_path = os.path.join(workdir, "quality_gate.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+
+    def carry(tag):
+        """Carry a skipped mode's scores from the previous gate JSON."""
+        assert tag in prev, (
+            f"--modes skipped {tag} but {prev_path} has no prior score")
+        for k in (tag, tag + "_ssim", tag + "_lpips"):
+            if k in prev:
+                results[k] = prev[k]
+        print(f"{tag}: carried {results[tag]:.2f} dB from {prev_path}")
+
+    if "volume_f32" in modes:
+        m32, p32 = make_model(False, "f32")
+        eval_renders(volume_one(m32, p32), "volume_f32")
+    else:
+        carry("volume_f32")
     # the volume SERVING config (bench.py volume_mrays): bf16 fused
     # kernels, tile=64 contexts over 8x8 pixel blocks
-    m16, p16 = make_model(True, "bf16",
-                          eval_candidates=args.eval_candidates)
-    eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
-                            color_topk=args.volume_topk,
-                            root_anchored=bool(args.volume_root_anchored)),
-                 "volume_bf16")
+    if "volume_bf16" in modes:
+        m16, p16 = make_model(True, "bf16",
+                              eval_candidates=args.eval_candidates)
+        eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
+                                color_topk=args.volume_topk,
+                                root_anchored=bool(
+                                    args.volume_root_anchored)),
+                     "volume_bf16")
+    else:
+        carry("volume_bf16")
     # surface-mode parity anchor: the f32 fused-kernel surface render at
     # the SAME structural config (steps/secant/kp) as the serving mode —
     # the gated delta then isolates precision (bf16 + selective-f32)
@@ -418,15 +452,23 @@ def main():
     # gated separately: gate_surface scores serving against the volume
     # path on GT, and tests/test_surface_render.py pins sub-millimeter
     # depth accuracy for the serving configuration.
-    mp32, pp32 = make_model(True, "f32", kp=args.serving_kp)
-    eval_renders(surface_one(mp32, pp32, steps=args.surface_steps,
-                             secant=args.surface_secant), "surface_f32")
+    if "surface_f32" in modes:
+        mp32, pp32 = make_model(True, "f32", kp=args.serving_kp)
+        eval_renders(surface_one(mp32, pp32, steps=args.surface_steps,
+                                 secant=args.surface_secant),
+                     "surface_f32")
+    else:
+        carry("surface_f32")
     # the BENCHMARKED serving config: bf16 + selective-f32 layers,
     # low-precision secant unless --secant-full-precision
-    msrv, psrv = make_model(True, "bf16", serving_f32_layers,
-                            kp=args.serving_kp, serving=True)
-    eval_renders(surface_one(msrv, psrv, steps=args.surface_steps,
-                             secant=args.surface_secant), "surface_fast")
+    if "surface_fast" in modes:
+        msrv, psrv = make_model(True, "bf16", serving_f32_layers,
+                                kp=args.serving_kp, serving=True)
+        eval_renders(surface_one(msrv, psrv, steps=args.surface_steps,
+                                 secant=args.surface_secant),
+                     "surface_fast")
+    else:
+        carry("surface_fast")
     results["surface_steps"] = args.surface_steps
     results["surface_secant"] = args.surface_secant
     results["serving_kp"] = args.serving_kp
@@ -460,9 +502,9 @@ def main():
     # image-vs-image PSNRs (VERDICT r3 #3): how far each serving mode's
     # IMAGE is from the f32 reference-structure volume render
     results["volume_serving_vs_f32_img"] = image_vs_image(
-        "volume_bf16", "volume_f32")
+        "volume_bf16", "volume_f32", "volume_serving_vs_f32_img")
     results["surface_vs_volume_img"] = image_vs_image(
-        "surface_fast", "volume_f32")
+        "surface_fast", "volume_f32", "surface_vs_volume_img")
     results["bf16_delta_db"] = round(
         results["volume_bf16"] - results["volume_f32"], 3)
     results["surface_serving_delta_db"] = round(
