@@ -107,7 +107,7 @@ def main():
     SERVING = dict(tile_kp_per_probe=8, sblk=1024,
                    f32_layers=("d0", "dh", "c0", "ch"),
                    secant_full_precision=False, scan_knn_k=1,
-                   tile_cell_budget=32, secant_tiles_per_program=4)
+                   tile_cell_budget=64, secant_tiles_per_program=4)
 
     # ---- headline: surface mode at production mesh scale, 65536
     # coherent rays grouped into 8x16 pixel blocks (tile-shared candidate
@@ -169,18 +169,21 @@ def main():
     # tools/quality_gate.py volume_bf16 vs the reference-structure f32
     # render (gate_volume; the gate JSON also reports the image-vs-image
     # PSNR against the f32 render).
-    # gate-sweep-selected budget (ROUND4.md): n_fine=32 + topk=8 is both
-    # FASTER (+41%) and HIGHER-quality (+3.0 dB vs +2.6 over the f32
-    # reference-structure render on the gate scene) than 48/16 — smaller
-    # anchored budgets sharpen the composite
-    VOL = dict(root_anchored=True, root_n_fine=32, root_steps=16,
-               root_secant=3, color_topk=8)
+    # round-5 gate-swept budget: n_fine=8 + topk=4 + win_frac=0.25 with
+    # 128-ray tile contexts capped at 128 ranked candidates — gated on
+    # BOTH scenes (GATES_r05/, incl. the non-convex multi-crossing
+    # torus) and 2.4x the r4 16k-ray tile=64 config (0.78 -> 1.84
+    # Mrays/s); 65536 rays amortize the fixed locate-scan cost
+    VOL = dict(root_anchored=True, root_n_fine=8, root_steps=16,
+               root_secant=3, root_win_frac=0.25, color_topk=4,
+               ray_tile=128, tile_max_candidates=128)
     model7v, params7v = build(use_pallas=True, sblk=1024, subdivisions=7,
-                              tile_kp_per_probe=12, tile_cell_budget=32)
-    n_vol = 16384
+                              tile_kp_per_probe=12, tile_cell_budget=64,
+                              scan_knn_k=1)
+    n_vol = 65536
     o_v, d_v = rays(n_vol)
     side_v = int(n_vol ** 0.5)
-    perm_v, _ = block_order_indices(side_v, side_v, 8, 8)
+    perm_v, _ = block_order_indices(side_v, side_v, 8, 16)
     o_v, d_v = o_v[perm_v], d_v[perm_v]
     mg7 = model7v.mesh_grid
 
@@ -195,7 +198,7 @@ def main():
                 mesh=dev_mesh,
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
-                N_upsample_iters=4, reuse_upsample_sdf=True, ray_tile=64,
+                N_upsample_iters=4, reuse_upsample_sdf=True,
                 **VOL)
         return ret["rgb"]
 

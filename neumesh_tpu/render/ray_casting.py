@@ -194,6 +194,10 @@ def surface_render(
     ray_tile: int = 0,
     scan_mode: str = "density",
     tile_max_candidates=None,
+    shade_composite: int = 0,
+    shade_topk: int = 0,
+    shade_win_frac: float = 0.5,
+    shade_window: float = 0.0,
     **not_used_kwargs,
 ):
     """Surface rendering entry (reference ray_casting.py:228-320):
@@ -205,7 +209,18 @@ def surface_render(
     programs, smaller context build. scan_mode="distance" runs the
     sign-change scan on the interpolated mesh distance (an order of
     magnitude cheaper than the density MLP) and reserves the density for
-    the secant refinement."""
+    the secant refinement.
+
+    shade_composite > 0 replaces the single color query at the root with
+    a tiny root-anchored alpha composite (shade_composite sample depths
+    around the located root, color at the shade_topk highest-visibility
+    midpoints — the volume renderer's root-anchored tail). Point-sampled
+    radiance at the exact zero crossing loses ~2 dB vs the integrated
+    color on multi-crossing geometry (the non-convex gate scene) even
+    where the located depth agrees with the volume render to <0.01, so
+    the SERVING config shades with the micro-composite; depth, mask and
+    normals still come from the root. Gated by tools/quality_gate.py on
+    both gate scenes."""
     ray_casting_cfgs = dict(ray_casting_cfgs or {})
     shape = rays_o.shape
     rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
@@ -318,15 +333,46 @@ def surface_render(
         raise NotImplementedError(ray_casting_algo)
 
     vq = (view_dirs[:, None, :] if view_dirs is not None else None)
-    if hasattr(model, "forward_full"):
+    if shade_composite and shade_composite > 0:
+        # micro-composite shade: density at shade_composite root-anchored
+        # depths, color at the shade_topk highest-visibility midpoints,
+        # alpha-composited — the volume renderer's root-anchored tail
+        # reused verbatim (one density launch + one color launch)
+        from .volume import _render_core, root_anchored_depths
+
+        s_val = jax.lax.stop_gradient(model.forward_s(params))
+        win = (shade_window if shade_window
+               else jnp.clip(6.0 / s_val, 0.02, 0.5))
+        d_shade = root_anchored_depths(
+            near[:, None], far[:, None], d_pred, mask, shade_composite,
+            win, shade_win_frac)
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        out = _render_core(
+            model, params, rays_o, rays_d, near[:, None], far[:, None],
+            keys, keys[0],
+            calc_normal=False, use_view_dirs=use_view_dirs,
+            white_bkgd=False, detailed_output=False, perturb=False,
+            N_samples=shade_composite, N_importance=0,
+            N_upsample_iters=1, samples_output=False,
+            random_color_direction=False, phi_s_base=256.0,
+            reuse_upsample_sdf=False, color_topk=shade_topk,
+            d_all_override=d_shade)
+        color = out["rgb"]
+        if calc_normal:
+            _, nablas = model.forward_with_nablas(
+                params, pt_pred[:, None, :])
+        else:
+            nablas = jnp.zeros_like(pt_pred)[:, None, :]
+    elif hasattr(model, "forward_full"):
         # one fused launch for (sdf, rgb, nablas) instead of two field
         # evaluations at the same points
         sdf, color, nablas = model.forward_full(
             params, pt_pred[:, None, :], vq)
+        color = color[:, 0]
     else:
         sdf, color = model.forward(params, pt_pred[:, None, :], vq)
         _, nablas = model.forward_with_nablas(params, pt_pred[:, None, :])
-    color = color[:, 0]
+        color = color[:, 0]
     color = jnp.where(mask[..., None], color, 0.0)
     nablas = nablas[:, 0]
 

@@ -123,6 +123,7 @@ def volume_render_rays(
     phi_s_base: float = 256.0,
     reuse_upsample_sdf: bool = False,
     ray_tile: int = 0,
+    tile_max_candidates: Optional[int] = None,
     color_topk: int = 0,
     root_anchored: bool = False,
     root_steps: int = 16,
@@ -152,7 +153,8 @@ def volume_render_rays(
     if (ray_tile and ray_tile > 1 and can_bind
             and hasattr(model, "bind_rays_tiled")):
         tb = model.bind_rays_tiled(
-            params, rays_o, rays_d, near, far, tile=ray_tile)
+            params, rays_o, rays_d, near, far, tile=ray_tile,
+            max_candidates=tile_max_candidates)
         if tb is not None:
             bound_model, near_t, far_t = tb
             if bounded_near_far:

@@ -229,6 +229,11 @@ def make_surface_render_fn(args, model):
             "fill_inf": False}
     tile = args.get("surface_ray_tile", 0) or 0
     scan_mode = args.get("surface_scan", "density") or "density"
+    max_cand = args.get("surface_max_candidates", 0) or None
+    shade_kw = dict(
+        shade_composite=args.get("surface_shade_composite", 0) or 0,
+        shade_topk=args.get("surface_shade_topk", 0) or 0,
+        shade_win_frac=args.get("surface_shade_win_frac", 0.5) or 0.5)
 
     # multi-chip serving: shard_map the surface program over the ray axis
     # of every local device (the reference's nn.DataParallel(dim=1) ray
@@ -249,6 +254,7 @@ def make_surface_render_fn(args, model):
             return sharded_surface_render(
                 model, params, ro, rd, mesh=dev_mesh, calc_normal=True,
                 ray_tile=tile_eff, scan_mode=scan_mode,
+                tile_max_candidates=max_cand, **shade_kw,
                 ray_casting_cfgs=dict(cfgs))
         return jax.jit(f)
 
@@ -442,6 +448,24 @@ def create_render_args(parser):
         help="surface mode: field for the sign-change scan; 'distance' "
              "scans the interpolated mesh distance and refines on the "
              "density (the fast configuration)")
+    parser.add_argument(
+        "--surface_max_candidates", type=int, default=0,
+        help="surface mode: ranked tile-context candidate cap "
+             "(0 = uncapped; the bench.py configuration uses 128)")
+    parser.add_argument(
+        "--surface_shade_composite", type=int, default=0,
+        help="surface mode: micro-composite shading — alpha-composite "
+             "this many root-anchored sample depths instead of one "
+             "color query at the root (0 = point shade). Recovers the "
+             "integrated color on multi-crossing geometry "
+             "(tools/quality_gate.py gates it on the torus scene)")
+    parser.add_argument(
+        "--surface_shade_topk", type=int, default=0,
+        help="surface mode: color_topk of the micro-composite "
+             "(0 = color at every midpoint)")
+    parser.add_argument(
+        "--surface_shade_win_frac", type=float, default=0.5,
+        help="surface mode: win_frac of the micro-composite depths")
     parser.add_argument(
         "--camera_inds", type=str, default=None,
         help="comma-separated dataset view indices to render instead of the "

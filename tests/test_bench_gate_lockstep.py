@@ -58,6 +58,11 @@ def test_volume_serving_config_matches_gate_defaults():
     # times
     assert vol["root_anchored"] is bool(gate["volume_root_anchored"])
     assert vol.get("eval_candidates", 0) == gate["eval_candidates"]
+    assert vol["root_win_frac"] == gate["volume_win_frac"]
+    # tile-context structure is a quality knob too: the shared candidate
+    # cache (rays per tile, ranked-candidate cap) changes the kNN set
+    assert vol["ray_tile"] == gate["volume_tile"]
+    assert vol["tile_max_candidates"] == gate["volume_max_candidates"]
 
 
 def test_surface_serving_config_matches_gate_defaults():

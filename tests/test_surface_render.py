@@ -633,3 +633,56 @@ def test_fused_locate_matches_composed_path():
     np.testing.assert_allclose(df[both], dx[both], atol=1e-5)
     np.testing.assert_allclose(np.asarray(rgb_f)[both],
                                np.asarray(rgb_x)[both], atol=1e-5)
+
+
+def test_shade_composite_matches_root_anchored_volume():
+    """shade_composite replaces the point color query with the volume
+    renderer's root-anchored tail (density at N anchored depths + top-k
+    color + alpha composite). Same locate, same tail => the composite
+    surface color must equal the root-anchored volume render exactly on
+    hit rays, and depth/mask must be untouched by the shading change."""
+    from neumesh_tpu.dataio.synthetic import sphere_mesh
+    from neumesh_tpu.mesh import MeshGrid
+    from neumesh_tpu.models.neumesh.model import NeuMesh
+    from neumesh_tpu.render.volume import volume_render_rays
+
+    mesh = sphere_mesh(radius=0.5, n_theta=24, n_phi=48)
+    mesh.compute_vertex_normals()
+    kw = dict(D_density=2, D_color=2, W=32, geometry_dim=4, color_dim=4,
+              multires_view=2, multires_d=4, multires_fg=1, multires_ft=1,
+              enable_nablas_input=True, learn_indicator_weight=True,
+              speed_factor=10.0)
+    m = NeuMesh(MeshGrid(mesh, distance_method="grid"), **kw)
+    params = dict(m.init(jax.random.PRNGKey(0)))
+    # an opaque surface like a trained model's (s ~ 200), so the tiny
+    # composite accumulates full mass inside the window
+    params["ln_s"] = jnp.full_like(params["ln_s"], np.log(200.0) / 10.0)
+
+    o, d = rays(64)
+    cfg = {"N_steps": 16, "N_secant_steps": 3}
+    c_pt, dep_pt, ex_pt = surface_render(
+        m, params, o, d, ray_tile=16, scan_mode="distance",
+        ray_casting_cfgs=dict(cfg))
+    c_sh, dep_sh, ex_sh = surface_render(
+        m, params, o, d, ray_tile=16, scan_mode="distance",
+        shade_composite=8, shade_topk=4, shade_win_frac=0.25,
+        ray_casting_cfgs=dict(cfg))
+    vol = volume_render_rays(
+        m, params, o, d, jax.random.PRNGKey(0), detailed_output=False,
+        perturb=False, bounded_near_far=True, N_samples=64,
+        N_importance=64, N_upsample_iters=4, reuse_upsample_sdf=True,
+        ray_tile=16, root_anchored=True, root_steps=16, root_secant=3,
+        root_n_fine=8, root_win_frac=0.25, color_topk=4)["rgb"]
+
+    hit = np.asarray(ex_pt["mask_surface"])
+    assert hit.mean() > 0.3
+    np.testing.assert_array_equal(hit, np.asarray(ex_sh["mask_surface"]))
+    f_pt = np.asarray(dep_pt)
+    f_sh = np.asarray(dep_sh)
+    np.testing.assert_allclose(f_sh[hit], f_pt[hit], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_sh)[hit],
+                               np.asarray(vol)[hit], atol=1e-5)
+    # the composite is a genuinely different shading than the point query
+    assert np.abs(np.asarray(c_sh)[hit] - np.asarray(c_pt)[hit]).max() > 1e-3
+    # normals still come from the root
+    assert np.isfinite(np.asarray(ex_sh["normals_surface"])).all()

@@ -161,16 +161,34 @@ def main():
                     help="skip the density re-bracket of the proxy scan "
                          "(NeuMesh.secant_rebracket=False); the secant "
                          "starts from the proxy bracket")
+    ap.add_argument("--surface-shade-composite", type=int, default=0,
+                    help="micro-composite shading of the surface configs: "
+                         "N root-anchored sample depths alpha-composited "
+                         "instead of one color query at the root (0 = "
+                         "point shade). Point shading loses ~2 dB vs the "
+                         "integrated color on the multi-crossing torus "
+                         "scene; applied to serving AND the f32 anchor "
+                         "(structural knob)")
+    ap.add_argument("--surface-shade-topk", type=int, default=0,
+                    help="color_topk of the surface micro-composite "
+                         "(0 = color at every midpoint)")
+    ap.add_argument("--surface-shade-win-frac", type=float, default=0.5,
+                    help="win_frac of the surface micro-composite depths")
     ap.add_argument("--surface-tile", type=int, default=128,
                     help="rays per shared tile context of the surface "
                          "configs (bench.py serving default)")
     ap.add_argument("--surface-blocks", type=int, nargs=2,
                     default=(8, 16),
                     help="pixel-block shape feeding the tiles")
-    ap.add_argument("--tile-cell-budget", type=int, default=32,
+    ap.add_argument("--tile-cell-budget", type=int, default=64,
                     help="cell-level pre-rank budget of the tile context "
                          "build (NeuMesh.tile_cell_budget; 0 = off). "
-                         "Applied to serving AND the f32 anchor")
+                         "Applied to serving AND the f32 anchor. 64 (not "
+                         "32): on the multi-crossing torus scene a "
+                         "128-ray tile's 8x16 pixel block needs more "
+                         "pre-ranked cells — 32 costs the volume serving "
+                         "path 1.4 dB there (round-5 probe) for <2% "
+                         "throughput")
     ap.add_argument("--scan-candidates", type=int, default=0,
                     help="nearest-prefix candidate budget for scan + "
                          "secant (NeuMesh.scan_candidates; 0 = full). "
@@ -186,18 +204,25 @@ def main():
                          "Applied to volume_bf16 ONLY — volume_f32 keeps "
                          "the reference structure, so the gated delta "
                          "includes the structural approximation")
-    ap.add_argument("--volume-n-fine", type=int, default=32,
+    ap.add_argument("--volume-n-fine", type=int, default=8,
                     help="samples per ray of the root-anchored volume "
                          "serving path")
     ap.add_argument("--volume-root-steps", type=int, default=16,
                     help="proxy-scan steps of the root-anchored path")
     ap.add_argument("--volume-root-secant", type=int, default=3,
                     help="secant iterations of the root-anchored path")
-    ap.add_argument("--volume-win-frac", type=float, default=0.5,
+    ap.add_argument("--volume-win-frac", type=float, default=0.25,
                     help="fraction of root-anchored samples in the dense "
                          "window around the root")
-    ap.add_argument("--volume-topk", type=int, default=8,
+    ap.add_argument("--volume-topk", type=int, default=4,
                     help="color_topk of the volume serving config")
+    ap.add_argument("--volume-tile", type=int, default=128,
+                    help="rays per shared tile context of the volume "
+                         "serving config (bench.py VOL ray_tile)")
+    ap.add_argument("--volume-max-candidates", type=int, default=128,
+                    help="ranked tile-context candidate cap of the volume "
+                         "serving config (0 = uncapped; bench.py VOL "
+                         "tile_max_candidates)")
     ap.add_argument("--eval-candidates", type=int, default=0,
                     help="nearest-prefix candidate budget of the fused "
                          "density/color sample evals "
@@ -365,7 +390,7 @@ def main():
         return model, params
 
     def volume_one(model, params, tile=16, blocks=None, color_topk=0,
-                   root_anchored=False):
+                   root_anchored=False, max_cand=None):
         perm = inv = None
         if blocks is not None:
             from neumesh_tpu.ops.rays import block_order_indices
@@ -381,7 +406,8 @@ def main():
                 detailed_output=False, perturb=False,
                 bounded_near_far=True, N_samples=64, N_importance=64,
                 N_upsample_iters=4, reuse_upsample_sdf=True,
-                ray_tile=tile, color_topk=color_topk,
+                ray_tile=tile, tile_max_candidates=max_cand,
+                color_topk=color_topk,
                 root_anchored=root_anchored,
                 root_steps=args.volume_root_steps,
                 root_secant=args.volume_root_secant,
@@ -404,6 +430,9 @@ def main():
                 model, params, ro[perm], rd[perm],
                 ray_tile=args.surface_tile,
                 scan_mode="distance", tile_max_candidates=128,
+                shade_composite=args.surface_shade_composite,
+                shade_topk=args.surface_shade_topk,
+                shade_win_frac=args.surface_shade_win_frac,
                 ray_casting_cfgs={"N_steps": steps,
                                   "N_secant_steps": secant})
             return c[inv]
@@ -438,10 +467,14 @@ def main():
     if "volume_bf16" in modes:
         m16, p16 = make_model(True, "bf16",
                               eval_candidates=args.eval_candidates)
-        eval_renders(volume_one(m16, p16, tile=64, blocks=(8, 8),
+        vol_blocks = (8, 16) if args.volume_tile >= 128 else (8, 8)
+        eval_renders(volume_one(m16, p16, tile=args.volume_tile,
+                                blocks=vol_blocks,
                                 color_topk=args.volume_topk,
                                 root_anchored=bool(
-                                    args.volume_root_anchored)),
+                                    args.volume_root_anchored),
+                                max_cand=(args.volume_max_candidates
+                                          or None)),
                      "volume_bf16")
     else:
         carry("volume_bf16")
@@ -471,6 +504,10 @@ def main():
         carry("surface_fast")
     results["surface_steps"] = args.surface_steps
     results["surface_secant"] = args.surface_secant
+    results["surface_shade_composite"] = args.surface_shade_composite
+    if args.surface_shade_composite:
+        results["surface_shade_topk"] = args.surface_shade_topk
+        results["surface_shade_win_frac"] = args.surface_shade_win_frac
     results["serving_kp"] = args.serving_kp
     if args.scan_knn_k:
         results["scan_knn_k"] = args.scan_knn_k
@@ -495,6 +532,8 @@ def main():
         results["volume_root_secant"] = args.volume_root_secant
         results["volume_win_frac"] = args.volume_win_frac
     results["volume_topk"] = args.volume_topk
+    results["volume_tile"] = args.volume_tile
+    results["volume_max_candidates"] = args.volume_max_candidates
     if args.eval_candidates:
         results["eval_candidates"] = args.eval_candidates
 
