@@ -141,7 +141,8 @@ def get_model(args, key=None):
     trainer = Trainer(
         model, loss_weights, teacher_model=teacher_model,
         distill_density_clip=args.training.setdefault(
-            "distill_density_clip", None))
+            "distill_density_clip", None),
+        teacher_dtype=args.training.get("teacher_dtype", None))
     trainer.teacher_params = teacher_params
     renderer = SingleRenderer(model)
 

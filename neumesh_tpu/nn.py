@@ -16,6 +16,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Callable, Sequence
 
@@ -39,15 +40,63 @@ def linear_init(key, in_dim: int, out_dim: int) -> Params:
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    dt = _MLP_COMPUTE_DTYPE[-1]
+    if dt is not None:
+        return (jnp.dot(x.astype(dt), p["w"].astype(dt),
+                        preferred_element_type=dt) + p["b"].astype(dt))
     return _f32_dot(x, p["w"]) + p["b"]
 
 
+_F32_DOT_PRECISION = ["highest"]
+
+
+@contextlib.contextmanager
+def f32_matmul_precision(precision: str):
+    """Trace-time override of the f32 matmul precision for everything
+    traced inside the context (the stack value is read when jit TRACES,
+    so a jitted function bakes in whatever was active at trace time).
+
+    Rendering/parity paths keep the exact default ("highest": true-f32,
+    6 MXU passes). TRAINING wraps its loss in a lower tier — the CUDA
+    reference itself never trains at true f32: torch 1.8 on Ampere runs
+    TF32 matmuls (10-bit mantissa) by default, so "high" (bf16x3,
+    ~f32-quality) or "default" (bf16 inputs, f32 accumulate — standard
+    mixed-precision training) is the faithful analog, and "highest" was
+    63% of the training step on v5e (23.5 of 37 ms, trace_train r5)."""
+    _F32_DOT_PRECISION.append(precision)
+    try:
+        yield
+    finally:
+        _F32_DOT_PRECISION.pop()
+
+
 def _f32_dot(x, w):
-    """True-f32 matmul: TPU's default precision feeds the MXU bf16 inputs
-    for f32 operands (~1e-2 relative error), which breaks checkpoint parity
-    with the f32 CUDA reference. f32 is the parity mode, so force exact
-    passes; low-precision serving goes through the explicit dtype path."""
-    return jnp.dot(x, w, precision="highest")
+    """f32 matmul at the context precision (default: true-f32 passes).
+    TPU's own default would feed the MXU bf16 inputs for f32 operands
+    (~1e-2 relative error), which breaks checkpoint parity with the f32
+    CUDA reference — so the parity/serving default stays "highest" and
+    training opts down via f32_matmul_precision."""
+    return jnp.dot(x, w, precision=_F32_DOT_PRECISION[-1])
+
+
+_MLP_COMPUTE_DTYPE = [None]
+
+
+@contextlib.contextmanager
+def mlp_compute_dtype(dtype):
+    """Trace-time dtype override for dtype-less MLP applies: inside the
+    context, maybe_wnorm_apply/maybe_wnorm_apply_parts/linear_apply calls
+    that did not request an explicit dtype run (and return) in `dtype` —
+    activations stay low-precision BETWEEN layers, halving the HBM
+    traffic the TPU MLPs are bound by. Used to evaluate the no-grad
+    distillation TEACHER in bf16 during training (the teacher targets
+    are stop-gradient'ed; callers cast the head outputs back to f32).
+    Parity/serving paths outside the context are unaffected."""
+    _MLP_COMPUTE_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _MLP_COMPUTE_DTYPE.pop()
 
 
 def wnorm_from_weight(w: jnp.ndarray) -> Params:
@@ -84,6 +133,8 @@ def maybe_wnorm_apply(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     halves the HBM traffic the TPU MLPs are bound by. Heads that need
     f32 outputs cast at the end."""
     w = wnorm_weight(p) if "g" in p else p["w"]
+    if dtype is None:
+        dtype = _MLP_COMPUTE_DTYPE[-1]
     if dtype is not None:
         return (jnp.dot(x.astype(dtype), w.astype(dtype),
                         preferred_element_type=dtype)
@@ -99,6 +150,8 @@ def maybe_wnorm_apply_parts(p: Params, parts: Sequence[jnp.ndarray],
     matmul (measured ~10 ms/render in the NeuMesh MLPs); the split form
     keeps each embedding fused into its own matmul operand read."""
     w = wnorm_weight(p) if "g" in p else p["w"]
+    if dtype is None:
+        dtype = _MLP_COMPUTE_DTYPE[-1]
     out = p["b"] if dtype is None else p["b"].astype(dtype)
     lo = 0
     for x in parts:

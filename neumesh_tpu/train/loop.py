@@ -32,10 +32,23 @@ def _tree_add(params, updates):
 
 
 def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
-                     mesh=None, painting: bool = False):
+                     mesh=None, painting: bool = False,
+                     matmul_precision: str = "high"):
+    """matmul_precision: f32 MXU precision of every matmul traced inside
+    the loss (forward AND the derived backward; see
+    nn.f32_matmul_precision). Default "high" (bf16x3, f32-equivalent
+    quality) — the semantic match for the CUDA reference, which trains
+    TF32 on Ampere (torch 1.8 default), NOT true f32; "highest" was 63%
+    of the v5e training step. "highest" opts back into exact passes."""
     constraint = ray_sharder(mesh, batched=True)
+    from ..nn import f32_matmul_precision
 
     def loss_fn(params, model_input, ground_truth, key, teacher_params):
+        with f32_matmul_precision(matmul_precision):
+            return _loss_fn(params, model_input, ground_truth, key,
+                            teacher_params)
+
+    def _loss_fn(params, model_input, ground_truth, key, teacher_params):
         if painting:
             ret = trainer.render_and_loss_painting(
                 params, model_input, ground_truth, key, render_kwargs_train,
@@ -198,7 +211,9 @@ def main_function(args):
     mesh = get_global_mesh() if (
         multihost or (use_mesh and jax.device_count() > 1)) else None
     train_step = build_train_step(
-        trainer, opt, render_kwargs_train, args.data.N_rays, H, W, mesh=mesh)
+        trainer, opt, render_kwargs_train, args.data.N_rays, H, W,
+        mesh=mesh,
+        matmul_precision=args.training.get("matmul_precision", "high"))
     mg = getattr(model, "mesh_grid", None)
     mesh_bufs = mg.device_buffers() if mg is not None else None
     if multihost and mesh_bufs is not None:

@@ -35,14 +35,22 @@ def density_distill_loss(density_pred, density_gt, density_clip=None):
 
 class Trainer:
     def __init__(self, model, loss_weights: dict, teacher_model=None,
-                 distill_density_clip=None):
+                 distill_density_clip=None, teacher_dtype=None):
         """distill_density_clip: None (default) = reference-shipped plain L1
         mean; a float (e.g. 0.1) opts into the masked DensityLoss variant
-        (reference models/trainer.py:13-23, defined but never invoked)."""
+        (reference models/trainer.py:13-23, defined but never invoked).
+
+        teacher_dtype: compute dtype for the no-grad distillation teacher
+        evals (e.g. jnp.bfloat16 / "bfloat16"); the teacher targets are
+        stop-gradient'ed and cast back to f32. None (default) keeps the
+        teacher at the f32 matmul-precision context of the train step."""
         self.model = model
         self.loss_weights = loss_weights
         self.teacher_model = teacher_model
         self.distill_density_clip = distill_density_clip
+        if isinstance(teacher_dtype, str):
+            teacher_dtype = jnp.dtype(teacher_dtype)
+        self.teacher_dtype = teacher_dtype
 
     # ------------------------------------------------------------------
     def render_and_loss(
@@ -149,8 +157,16 @@ class Trainer:
 
         if use_distill_loss:
             assert self.teacher_model is not None and teacher_params is not None
-            gt_sdf, gt_radiances = self.teacher_model.forward(
-                teacher_params, extras["xyz"], extras["dirs"])
+            if self.teacher_dtype is not None:
+                from ..nn import mlp_compute_dtype
+                with mlp_compute_dtype(self.teacher_dtype):
+                    gt_sdf, gt_radiances = self.teacher_model.forward(
+                        teacher_params, extras["xyz"], extras["dirs"])
+                gt_sdf = gt_sdf.astype(jnp.float32)
+                gt_radiances = gt_radiances.astype(jnp.float32)
+            else:
+                gt_sdf, gt_radiances = self.teacher_model.forward(
+                    teacher_params, extras["xyz"], extras["dirs"])
             gt_sdf = jax.lax.stop_gradient(gt_sdf)
             gt_radiances = jax.lax.stop_gradient(gt_radiances)
             losses["loss_density"] = w["distill_density"] * density_distill_loss(

@@ -41,14 +41,20 @@ N_RAYS = 512
 SAMPLES_PER_RAY = 128  # 64 coarse + 4x16 upsample (final eval count)
 
 
-def build(subdivisions: int):
+def build(subdivisions: int, student_dtype=None, teacher_dtype=None):
     mesh = icosphere_mesh(radius=0.5, subdivisions=subdivisions)
     mg = MeshGrid(mesh, distance_method="grid")
+    extra = {}
+    if student_dtype:
+        # mixed-precision student: bf16 activations with the serving
+        # mode's selective-f32 first/head layers (gate-validated forward)
+        extra = dict(compute_dtype=student_dtype,
+                     f32_layers=("d0", "dh", "c0", "ch"))
     model = NeuMesh(
         mg, D_density=3, D_color=4, W=256, geometry_dim=32, color_dim=32,
         multires_view=4, multires_d=8, multires_fg=2, multires_ft=2,
         enable_nablas_input=True, learn_indicator_weight=True,
-        speed_factor=10.0)
+        speed_factor=10.0, **extra)
     params = model.init(jax.random.PRNGKey(0))
 
     # W=256 teacher at the reference NeuS shape (D=8, skips=[4],
@@ -64,12 +70,16 @@ def build(subdivisions: int):
     trainer = Trainer(model, loss_weights={
         "img": 1.0, "mask": 0.1, "eikonal": 0.1, "distill_density": 1.0,
         "distill_color": 1.0, "indicator_reg": 0.001},
-        teacher_model=teacher)
+        teacher_model=teacher, teacher_dtype=teacher_dtype)
     return model, params, trainer, teacher_params
 
 
-def measure(subdivisions: int = 7, iters: int = 30) -> dict:
-    model, params, trainer, teacher_params = build(subdivisions)
+def measure(subdivisions: int = 7, iters: int = 30,
+            matmul_precision: str = "high", student_dtype=None,
+            teacher_dtype=None) -> dict:
+    model, params, trainer, teacher_params = build(
+        subdivisions, student_dtype=student_dtype,
+        teacher_dtype=teacher_dtype)
 
     cfg = ConfigDict({"training": {
         "lr": 5e-4, "num_iters": 200000,
@@ -84,7 +94,8 @@ def measure(subdivisions: int = 7, iters: int = 30) -> dict:
         bounded_near_far=True)
     H = W = 128
     train_step = build_train_step(trainer, opt, render_kwargs_train,
-                                  N_RAYS, H, W)
+                                  N_RAYS, H, W,
+                                  matmul_precision=matmul_precision)
 
     # one synthetic camera batch (batch_size=1, the reference default)
     focal = 160.0
@@ -130,8 +141,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdivisions", type=int, default=7)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--precision", default="high",
+                    help="f32 matmul precision of the traced loss "
+                         "(nn.f32_matmul_precision)")
+    ap.add_argument("--student-dtype", default=None,
+                    help="mixed-precision student (e.g. bfloat16): "
+                         "compute_dtype + serving f32_layers")
+    ap.add_argument("--teacher-dtype", default=None,
+                    help="no-grad distill teacher compute dtype "
+                         "(e.g. bfloat16)")
     args = ap.parse_args()
-    print(json.dumps(measure(args.subdivisions, args.iters)))
+    print(json.dumps(measure(args.subdivisions, args.iters,
+                             args.precision, args.student_dtype,
+                             args.teacher_dtype)))
 
 
 if __name__ == "__main__":

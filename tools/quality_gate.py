@@ -233,6 +233,11 @@ def main():
                          "(NeuMesh.secant_tiles_per_program; row-exact — "
                          "grouped == ungrouped — carried so the gate "
                          "config IS the bench config)")
+    ap.add_argument("--train-matmul-precision", default=None,
+                    help="override training.matmul_precision of the gate "
+                         "trainings (default: the train loop's own "
+                         "default, 'high'); for precision-vs-quality "
+                         "experiments in a fresh --workdir")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -270,6 +275,8 @@ def main():
     nm_dir = os.path.join(workdir, "logs", "qgate_neumesh")
 
     ncfg = neus_config(workdir, args.iters)
+    if args.train_matmul_precision:
+        ncfg.training["matmul_precision"] = args.train_matmul_precision
     if not (args.skip_train
             and os.path.exists(os.path.join(nm_dir, "ckpts", "latest.ckpt"))):
         if os.path.exists(os.path.join(neus_dir, "ckpts", "latest.ckpt")):
@@ -293,8 +300,12 @@ def main():
                          workdir, "mesh"), obj_id="0")
 
         print(f"=> distilling NeuMesh ({args.iters} iters)")
-        main_function(neumesh_config(workdir, args.iters, mesh_path,
-                                     neus_dir))
+        mcfg_train = neumesh_config(workdir, args.iters, mesh_path,
+                                    neus_dir)
+        if args.train_matmul_precision:
+            mcfg_train.training["matmul_precision"] = \
+                args.train_matmul_precision
+        main_function(mcfg_train)
 
     # ---- evaluation on 4 held-out-ish views
     mcfg = neumesh_config(workdir, args.iters, mesh_path, neus_dir)

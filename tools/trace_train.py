@@ -39,8 +39,11 @@ render_kwargs_train = dict(
     N_samples=64, N_importance=64, N_upsample_iters=4,
     bounded_near_far=True)
 H = W = 128
+import os as _os
 train_step = build_train_step(trainer, opt, render_kwargs_train,
-                              N_RAYS, H, W)
+                              N_RAYS, H, W,
+                              matmul_precision=_os.environ.get(
+                                  "TRACE_PRECISION", "high"))
 focal = 160.0
 intr = jnp.asarray([[[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]]],
                    jnp.float32)
