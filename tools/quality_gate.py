@@ -236,8 +236,19 @@ def main():
     ap.add_argument("--train-matmul-precision", default=None,
                     help="override training.matmul_precision of the gate "
                          "trainings (default: the train loop's own "
-                         "default, 'high'); for precision-vs-quality "
-                         "experiments in a fresh --workdir")
+                         "default; see build_train_step); for "
+                         "precision-vs-quality experiments in a fresh "
+                         "--workdir")
+    ap.add_argument("--train-student-dtype", default=None,
+                    help="train the NeuMesh distillation with this "
+                         "student compute dtype (bfloat16 = mixed "
+                         "precision: bf16 activations, selective-f32 "
+                         "first/head layers matching the serving config; "
+                         "params stay f32). Eval configs are unaffected")
+    ap.add_argument("--train-teacher-dtype", default=None,
+                    help="run the no-grad distillation teacher at this "
+                         "compute dtype during NeuMesh training "
+                         "(training.teacher_dtype)")
     ap.add_argument("--n-grid", type=int, default=96,
                     help="marching-tetrahedra grid for the prior mesh "
                          "(denser scaffolds inflate the candidate tables "
@@ -305,6 +316,11 @@ def main():
         if args.train_matmul_precision:
             mcfg_train.training["matmul_precision"] = \
                 args.train_matmul_precision
+        if args.train_student_dtype:
+            mcfg_train.model["compute_dtype"] = args.train_student_dtype
+            mcfg_train.model["f32_layers"] = ("d0", "dh", "c0", "ch")
+        if args.train_teacher_dtype:
+            mcfg_train.training["teacher_dtype"] = args.train_teacher_dtype
         main_function(mcfg_train)
 
     # ---- evaluation on 4 held-out-ish views

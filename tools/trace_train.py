@@ -28,7 +28,10 @@ from neumesh_tpu.train.optimizers import get_optimizer  # noqa: E402
 from tools.bench_train import N_RAYS, build  # noqa: E402
 
 subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 7
-model, params, trainer, teacher_params = build(subdiv)
+import os as _os0
+model, params, trainer, teacher_params = build(
+    subdiv, student_dtype=_os0.environ.get("TRACE_STUDENT_DTYPE") or None,
+    teacher_dtype=_os0.environ.get("TRACE_TEACHER_DTYPE") or None)
 cfg = ConfigDict({"training": {
     "lr": 5e-4, "num_iters": 200000,
     "scheduler": {"type": "warmupcosine", "warmup_steps": 1500}}})
