@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +72,10 @@ def build_train_step(trainer, opt, render_kwargs_train, N_rays, H, W,
 
     mesh_grid = getattr(trainer.model, "mesh_grid", None)
 
-    @jax.jit
+    # donate params/opt_state: the update is written in place instead of
+    # allocating fresh trees each step (params + Adam state are ~3x the
+    # vertex-feature tables in HBM); every caller reassigns the returns
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, model_input, ground_truth, key,
                    teacher_params, grad_mask=None, mesh_bufs=None):
         # large mesh tables arrive as ARGUMENTS (not baked constants) so
